@@ -1,0 +1,119 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): solved QPs/sec/chip, forward+backward, batch
+4096, eps=1e-7 - measured on the flagship workload: N=24 (12-contact)
+friction-cone QCQPs solved and differentiated inside a jitted
+value_and_grad step (the fwd+bwd unit of the reference's timing protocol,
+test_script.py:112-123).
+
+Baseline: the reference C++ solver is single-thread CPU, one problem per
+pybind call (SURVEY.md section 2.3). When the native host solver
+(native/, built with `make -C native`) is available we time it on the same
+problems; otherwise we fall back to a conservative constant derived from the
+reference's published figure (qcqp_runtime.png: "Ours" forward ~1e-4 s and
+backward ~1e-4 s at n=8; we use 5000 fwd+bwd solves/sec, generous for N=24).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_problems(b, nc, dtype, seed=0):
+    n = 2 * nc
+    rng = np.random.default_rng(seed)
+    s = rng.standard_normal((b, n, n)).astype(dtype) / np.sqrt(n)
+    P = s @ s.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=dtype)
+    q = (rng.standard_normal((b, n)) * 0.5).astype(dtype)
+    l_n = (rng.random((b, nc)) * 0.5 + 0.05).astype(dtype)
+    mu = (rng.random((b, nc)) * 0.5 + 0.05).astype(dtype)
+    return P, q, l_n, mu
+
+
+def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    from diffqcqp_tpu import QCQP_DEFAULTS, solve_qcqp, solve_qcqp_with_stats
+
+    cfg = QCQP_DEFAULTS.replace(eps=eps, max_iter=max_iter)
+    P, q, l_n, mu = _build_problems(b, nc, np.float32)
+    P, q, l_n, mu = map(jnp.asarray, (P, q, l_n, mu))
+
+    def loss(P, q, l_n, mu):
+        l = solve_qcqp(P, q, l_n, mu, config=cfg)
+        return jnp.sum(l * l)
+
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+
+    # warmup / compile
+    v, g = step(P, q, l_n, mu)
+    jax.block_until_ready((v, g))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v, g = step(P, q, l_n, mu)
+    jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - t0) / reps
+
+    # convergence accounting on the same workload
+    _, stats = jax.jit(lambda *a: solve_qcqp_with_stats(*a, config=cfg))(
+        P, q, l_n, mu
+    )
+    conv = float(np.mean(np.array(stats.converged)))
+    iters = float(np.mean(np.array(stats.iterations)))
+    return {
+        "fwd_bwd_seconds": dt,
+        "problems_per_sec": b / dt,
+        "batch": b,
+        "n": 2 * nc,
+        "converged_frac": conv,
+        "mean_iters": iters,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def baseline_problems_per_sec(b=256, nc=12, eps=1e-7, max_iter=400):
+    """Reference-equivalent C++ single-thread throughput on this host, via
+    the native host solver if built; else a generous constant."""
+    try:
+        from diffqcqp_tpu.native import host_solver
+
+        P, q, l_n, mu = _build_problems(b, nc, np.float64, seed=1)
+        t0 = time.perf_counter()
+        host_solver.solve_qcqp_batch(
+            P, q, l_n, mu, eps=eps, max_iter=max_iter, threads=1,
+            fwd_bwd=True,
+        )
+        dt = time.perf_counter() - t0
+        return b / dt, "native_host_solver_1thread"
+    except Exception as e:  # noqa: BLE001
+        print(f"baseline fallback ({type(e).__name__}: {e})", file=sys.stderr)
+        return 5000.0, "estimated_from_reference_figure"
+
+
+def main():
+    res = bench_tpu()
+    base, base_src = baseline_problems_per_sec()
+    out = {
+        "metric": "qcqp_fwd_bwd_throughput",
+        "value": round(res["problems_per_sec"], 1),
+        "unit": "problems/sec/chip (B=4096, N=24, eps=1e-7, fwd+bwd)",
+        "vs_baseline": round(res["problems_per_sec"] / base, 2),
+        "baseline_problems_per_sec": round(base, 1),
+        "baseline_source": base_src,
+        "fwd_bwd_seconds": round(res["fwd_bwd_seconds"], 5),
+        "converged_frac": res["converged_frac"],
+        "mean_iters": res["mean_iters"],
+        "backend": res["backend"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

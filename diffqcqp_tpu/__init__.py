@@ -1,0 +1,49 @@
+"""diffqcqp_tpu - TPU-native differentiable batched ADMM QP/QCQP solvers.
+
+A ground-up JAX/XLA/Pallas re-design of the capability set of
+quentinll/diffqcqp (differentiable proximal ADMM solvers for non-negative
+QPs, box QPs, signed-box QPs and friction-cone QCQPs with analytical
+derivatives via implicit differentiation of the KKT conditions), built for
+large batches on TPU:
+
+  * one generic batched ADMM engine (solvers/admm.py) instead of four copies
+  * spectral shifted-solve instead of Cholesky refactorisation, making the
+    per-problem adaptive-rho schedule free (ops/linalg.py)
+  * fixed-shape masked KKT differentiation wired through jax.custom_vjp
+    (diff/kkt.py, api.py)
+  * batch sharding over device meshes with a single pmax convergence
+    collective (parallel/)
+  * fused Pallas iteration kernels for the hot loop (kernels/)
+"""
+
+from .api import (
+    SolverConfig,
+    SolveStats,
+    solve_box_qp,
+    solve_box_qp_with_stats,
+    solve_qcqp,
+    solve_qcqp_with_stats,
+    solve_qp,
+    solve_qp_with_stats,
+    solve_signed_box_qp,
+    solve_signed_box_qp_with_stats,
+)
+from .config import QCQP_DEFAULTS, QP_DEFAULTS
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SolverConfig",
+    "SolveStats",
+    "QP_DEFAULTS",
+    "QCQP_DEFAULTS",
+    "solve_qp",
+    "solve_box_qp",
+    "solve_signed_box_qp",
+    "solve_qcqp",
+    "solve_qp_with_stats",
+    "solve_box_qp_with_stats",
+    "solve_signed_box_qp_with_stats",
+    "solve_qcqp_with_stats",
+    "__version__",
+]

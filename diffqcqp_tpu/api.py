@@ -1,0 +1,376 @@
+"""Public differentiable solver API.
+
+Mirrors the reference surface one-to-one (pybindings.cpp:74-83 and the
+torch.autograd wrappers qcqp.py:22-181):
+
+    solve_qp          ~ solveQP + QPFn2
+    solve_box_qp      ~ solveBoxQP + BoxQPFn2
+    solve_signed_box_qp ~ solveSignedBoxQP + SignedBoxQPFn2
+    solve_qcqp        ~ solveQCQP + QCQPFn2 (radius premultiply mu * l_n
+                        applied internally, pybindings.cpp:57)
+
+Every function is batched-first, jit/vmap/shard_map-compatible, and wired
+with ``jax.custom_vjp`` implementing the implicit differentiation of the KKT
+conditions (diff/kkt.py), so the solvers drop into JAX autodiff exactly as the
+reference's autograd.Functions drop into PyTorch. ``warm_start`` receives a
+zero gradient (at convergence the solution does not depend on it).
+
+Each ``*_with_stats`` variant additionally returns per-problem SolveStats
+(iteration counts, final residuals, converged mask) - the signal the
+reference never exposes (its callers cannot tell a converged solve from a
+max_iter-capped one, Solver.cpp:121-122).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
+from .diff import kkt
+from .ops.prox import prox_box, prox_disk, prox_nonneg, prox_signed_box
+from .solvers.admm import SolveStats, admm_solve
+from .utils.shapes import canon_like, canon_problem
+
+__all__ = [
+    "solve_qp",
+    "solve_box_qp",
+    "solve_signed_box_qp",
+    "solve_qcqp",
+    "solve_qp_with_stats",
+    "solve_box_qp_with_stats",
+    "solve_signed_box_qp_with_stats",
+    "solve_qcqp_with_stats",
+    "SolveStats",
+    "SolverConfig",
+]
+
+
+def _build_cfg(
+    base: SolverConfig,
+    config: Optional[SolverConfig],
+    eps: Optional[float],
+    mu_prox: Optional[float],
+    max_iter: Optional[int],
+    adaptive_rho: Optional[bool],
+    axis_name: Optional[str],
+) -> SolverConfig:
+    cfg = config if config is not None else base
+    over = {}
+    if eps is not None:
+        over["eps"] = eps
+    if mu_prox is not None:
+        over["mu_prox"] = mu_prox
+    if max_iter is not None:
+        over["max_iter"] = int(max_iter)
+    if adaptive_rho is not None:
+        over["adaptive_rho"] = adaptive_rho
+    if axis_name is not None:
+        over["axis_name"] = axis_name
+    return cfg.replace(**over) if over else cfg
+
+
+def _grad_P(dl: Array, l: Array, P: Array) -> Array:
+    """Symmetrised grad_P = -(dl l^T + l dl^T)/2.
+
+    The reference returns the one-sided -dl l^T (qcqp.py:49); both give the
+    same downstream gradients for any symmetric parametrisation of P, but
+    only the symmetrised form is the exact VJP of our solver, which (like
+    any eigendecomposition-based solve) sees only the symmetric part of P.
+    The diagonal-P path stores only the diagonal -dl*l
+    (qcqp_no_batch.py:44-47)."""
+    if P.ndim == 2:
+        return -dl * l
+    outer = dl[:, :, None] * l[:, None, :]
+    return -0.5 * (outer + jnp.swapaxes(outer, -1, -2))
+
+
+# --------------------------------------------------------------------------
+# Non-negative QP
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _qp(P, q, ws, cfg):
+    return admm_solve(P, q, ws, prox_nonneg, cfg)
+
+
+def _qp_fwd(P, q, ws, cfg):
+    out = _qp(P, q, ws, cfg)
+    l, _ = out
+    return out, (P, q, l)
+
+
+def _qp_bwd(cfg, res, ct):
+    g, _ = ct
+    P, q, l = res
+    dl = kkt.qp_vjp(P, q, l, g, cfg)
+    return _grad_P(dl, l, P), -dl, jnp.zeros_like(l)
+
+
+_qp.defvjp(_qp_fwd, _qp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Box QP
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _box_qp(P, q, l_min, l_max, ws, cfg):
+    prox = lambda x: prox_box(x, l_min, l_max)
+    return admm_solve(P, q, ws, prox, cfg)
+
+
+def _box_qp_fwd(P, q, l_min, l_max, ws, cfg):
+    out = _box_qp(P, q, l_min, l_max, ws, cfg)
+    l, _ = out
+    return out, (P, q, l_min, l_max, l)
+
+
+def _box_qp_bwd(cfg, res, ct):
+    g, _ = ct
+    P, q, l_min, l_max, l = res
+    r = kkt.box_vjp(P, q, l_min, l_max, l, g, cfg)
+    n = l.shape[-1]
+    g_lo = r.gamma[:, :n]
+    g_hi = r.gamma[:, n:]
+    d_lo = r.dgamma[:, :n]
+    d_hi = r.dgamma[:, n:]
+    return (
+        _grad_P(r.dl, l, P),
+        -r.dl,
+        -g_lo * d_lo,
+        g_hi * d_hi,
+        jnp.zeros_like(l),
+    )
+
+
+_box_qp.defvjp(_box_qp_fwd, _box_qp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Signed box QP
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _signed_box_qp(P, q, l_min, l_max, v, ws, cfg):
+    v_sign = jnp.sign(v)
+    prox = lambda x: prox_signed_box(x, l_min, l_max, v_sign)
+    return admm_solve(P, q, ws, prox, cfg)
+
+
+def _signed_box_qp_fwd(P, q, l_min, l_max, v, ws, cfg):
+    out = _signed_box_qp(P, q, l_min, l_max, v, ws, cfg)
+    l, _ = out
+    return out, (P, q, l_min, l_max, v, l)
+
+
+def _signed_box_qp_bwd(cfg, res, ct):
+    g, _ = ct
+    P, q, l_min, l_max, v, l = res
+    r = kkt.signed_box_vjp(P, q, l_min, l_max, v, l, g, cfg)
+    n = l.shape[-1]
+    g_lo, g_hi = r.gamma[:, :n], r.gamma[:, n : 2 * n]
+    d_lo, d_hi = r.dgamma[:, :n], r.dgamma[:, n : 2 * n]
+    return (
+        _grad_P(r.dl, l, P),
+        -r.dl,
+        -g_lo * d_lo,
+        g_hi * d_hi,
+        jnp.zeros_like(v),   # v enters only through sign(v): a.e. zero grad
+        jnp.zeros_like(l),
+    )
+
+
+_signed_box_qp.defvjp(_signed_box_qp_fwd, _signed_box_qp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Friction-cone QCQP
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _qcqp(P, q, l_n, mu, ws, cfg):
+    radius = l_n * mu                       # pybindings.cpp:57
+    prox = lambda x: prox_disk(x, radius)
+    return admm_solve(
+        P, q, ws, prox, cfg, qcqp_stopping=True, damp_both_taus=False
+    )
+
+
+def _qcqp_fwd(P, q, l_n, mu, ws, cfg):
+    out = _qcqp(P, q, l_n, mu, ws, cfg)
+    l, _ = out
+    return out, (P, q, l_n, mu, l)
+
+
+def _qcqp_bwd(cfg, res, ct):
+    g, _ = ct
+    P, q, l_n, mu, l = res
+    radius = l_n * mu
+    r = kkt.qcqp_vjp(P, q, radius, l, g, cfg)
+    e1, e2 = kkt.qcqp_radius_factors(l_n, mu, r.gamma)
+    return (
+        _grad_P(r.dl, l, P),
+        -r.dl,
+        e2 * r.dgamma,                      # grad_l_n (qcqp.py:178)
+        e1 * r.dgamma,                      # grad_mu  (qcqp.py:180)
+        jnp.zeros_like(l),
+    )
+
+
+_qcqp.defvjp(_qcqp_fwd, _qcqp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Public wrappers
+# --------------------------------------------------------------------------
+
+def _stats_restore(stats: SolveStats, batched: bool) -> SolveStats:
+    if batched:
+        return stats
+    return SolveStats(*(x[0] for x in stats))
+
+
+def solve_qp(
+    P,
+    q,
+    warm_start=None,
+    *,
+    eps: Optional[float] = None,
+    mu_prox: Optional[float] = None,
+    max_iter: Optional[int] = None,
+    adaptive_rho: Optional[bool] = None,
+    config: Optional[SolverConfig] = None,
+    axis_name: Optional[str] = None,
+) -> Array:
+    """Solve min 1/2 l'Pl + q'l s.t. l >= 0, batched and differentiable.
+
+    P: (B,N,N) dense | (B,N) diagonal | unbatched variants. Returns l in the
+    layout of q. Differentiable in (P, q).
+    """
+    l, _ = solve_qp_with_stats(
+        P, q, warm_start, eps=eps, mu_prox=mu_prox, max_iter=max_iter,
+        adaptive_rho=adaptive_rho, config=config, axis_name=axis_name,
+    )
+    return l
+
+
+def solve_qp_with_stats(
+    P, q, warm_start=None, *, eps=None, mu_prox=None, max_iter=None,
+    adaptive_rho=None, config=None, axis_name=None,
+):
+    cfg = _build_cfg(QP_DEFAULTS, config, eps, mu_prox, max_iter, adaptive_rho, axis_name)
+    c = canon_problem(P, q)
+    ws = (
+        jnp.zeros_like(c.q)
+        if warm_start is None
+        else canon_like(warm_start, c, "warm_start")
+    )
+    l, stats = _qp(c.P, c.q, ws, cfg)
+    return c.restore(l), _stats_restore(stats, c.batched)
+
+
+def solve_box_qp(
+    P, q, l_min, l_max, warm_start=None, *, eps=None, mu_prox=None,
+    max_iter=None, adaptive_rho=None, config=None, axis_name=None,
+) -> Array:
+    """Solve min 1/2 l'Pl + q'l s.t. l_min <= l <= l_max.
+
+    Differentiable in (P, q, l_min, l_max).
+    """
+    l, _ = solve_box_qp_with_stats(
+        P, q, l_min, l_max, warm_start, eps=eps, mu_prox=mu_prox,
+        max_iter=max_iter, adaptive_rho=adaptive_rho, config=config,
+        axis_name=axis_name,
+    )
+    return l
+
+
+def solve_box_qp_with_stats(
+    P, q, l_min, l_max, warm_start=None, *, eps=None, mu_prox=None,
+    max_iter=None, adaptive_rho=None, config=None, axis_name=None,
+):
+    cfg = _build_cfg(QP_DEFAULTS, config, eps, mu_prox, max_iter, adaptive_rho, axis_name)
+    c = canon_problem(P, q)
+    lo = canon_like(l_min, c, "l_min")
+    hi = canon_like(l_max, c, "l_max")
+    ws = (
+        jnp.zeros_like(c.q)
+        if warm_start is None
+        else canon_like(warm_start, c, "warm_start")
+    )
+    l, stats = _box_qp(c.P, c.q, lo, hi, ws, cfg)
+    return c.restore(l), _stats_restore(stats, c.batched)
+
+
+def solve_signed_box_qp(
+    P, q, l_min, l_max, v, warm_start=None, *, eps=None, mu_prox=None,
+    max_iter=None, adaptive_rho=None, config=None, axis_name=None,
+) -> Array:
+    """Box QP with the additional sign constraint sign(v) * l <= 0.
+
+    Differentiable in (P, q, l_min, l_max); v receives a zero gradient (it
+    enters only through its sign).
+    """
+    l, _ = solve_signed_box_qp_with_stats(
+        P, q, l_min, l_max, v, warm_start, eps=eps, mu_prox=mu_prox,
+        max_iter=max_iter, adaptive_rho=adaptive_rho, config=config,
+        axis_name=axis_name,
+    )
+    return l
+
+
+def solve_signed_box_qp_with_stats(
+    P, q, l_min, l_max, v, warm_start=None, *, eps=None, mu_prox=None,
+    max_iter=None, adaptive_rho=None, config=None, axis_name=None,
+):
+    cfg = _build_cfg(QP_DEFAULTS, config, eps, mu_prox, max_iter, adaptive_rho, axis_name)
+    c = canon_problem(P, q)
+    lo = canon_like(l_min, c, "l_min")
+    hi = canon_like(l_max, c, "l_max")
+    vv = canon_like(v, c, "v")
+    ws = (
+        jnp.zeros_like(c.q)
+        if warm_start is None
+        else canon_like(warm_start, c, "warm_start")
+    )
+    l, stats = _signed_box_qp(c.P, c.q, lo, hi, vv, ws, cfg)
+    return c.restore(l), _stats_restore(stats, c.batched)
+
+
+def solve_qcqp(
+    P, q, l_n, mu, warm_start=None, *, eps=None, mu_prox=None, max_iter=None,
+    adaptive_rho=None, config=None, axis_name=None,
+) -> Array:
+    """Solve the friction-cone QCQP: min 1/2 l'Pl + q'l s.t.
+    ||l_(i)||_2 <= mu_i * l_n_i per 2-D contact block i.
+
+    l is 2*nc long; l_n, mu are nc long. Differentiable in (P, q, l_n, mu).
+    """
+    l, _ = solve_qcqp_with_stats(
+        P, q, l_n, mu, warm_start, eps=eps, mu_prox=mu_prox,
+        max_iter=max_iter, adaptive_rho=adaptive_rho, config=config,
+        axis_name=axis_name,
+    )
+    return l
+
+
+def solve_qcqp_with_stats(
+    P, q, l_n, mu, warm_start=None, *, eps=None, mu_prox=None, max_iter=None,
+    adaptive_rho=None, config=None, axis_name=None,
+):
+    cfg = _build_cfg(QCQP_DEFAULTS, config, eps, mu_prox, max_iter, adaptive_rho, axis_name)
+    c = canon_problem(P, q)
+    ln = canon_like(l_n, c, "l_n")
+    m = canon_like(mu, c, "mu")
+    ws = (
+        jnp.zeros_like(c.q)
+        if warm_start is None
+        else canon_like(warm_start, c, "warm_start")
+    )
+    l, stats = _qcqp(c.P, c.q, ln, m, ws, cfg)
+    return c.restore(l), _stats_restore(stats, c.batched)

@@ -1,0 +1,85 @@
+"""Solver configuration.
+
+The reference (quentinll/diffqcqp) scatters its knobs between the pybind layer
+defaults (/root/reference/pybindings.cpp:76-82: epsilon=1e-10, mu_prox=1e-7,
+max_iter=1000, adaptative_rho=true) and hard-coded constants inside each solver
+(/root/reference/qcqplib/Solver.cpp:64 mu_thresh=10, alpha_relax=1.5; :73 tau
+formula; :93 five-iteration update throttle; :95 0.8 damping; :524 eps_rel=1e-4
+for QCQP; :15 iterative-refinement mu_ir=1e-7 / eps=1e-10 / 10 iters).
+
+Here every knob lives in one frozen (hashable) dataclass so the whole config is
+a static argument under ``jax.jit`` / ``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static hyper-parameters of the proximal over-relaxed adaptive-rho ADMM.
+
+    Attributes:
+      eps: absolute convergence tolerance on the dual residual
+        (``rho * ||l2 - l2_prev||_inf``). Reference default 1e-10
+        (pybindings.cpp:76).
+      eps_rel: relative primal tolerance used only by the QCQP stopping rule
+        ``res_prim < eps + eps_rel * ||l||_2`` (Solver.cpp:524, :548).
+      mu_prox: proximal regularisation weight (pybindings.cpp:76).
+      max_iter: hard iteration cap (static; the loop is a ``lax.while_loop``
+        bounded by this).
+      adaptive_rho: enable the adaptive penalty schedule (Solver.cpp:91-120).
+      alpha_relax: over-relaxation factor (Solver.cpp:64).
+      mu_thresh: residual-ratio threshold triggering a rho update
+        (Solver.cpp:64, :92, :106).
+      tau_damping: damping applied to tau on a rho-direction flip
+        (Solver.cpp:95-96 ``tau = 1 + .8*(tau-1)``).
+      rho_update_period: a fired trigger only applies every this-many fires
+        (Solver.cpp:93 ``cpt % 5 == 0``).
+      power_iters: iterations of power method when ``lmax_method=='power'``
+        (Solver.cpp:71 uses 10 for the QP family, :530 uses 100 for QCQP).
+      lmax_method: how the largest eigenvalue L of P (used for rho0/tau) is
+        estimated. ``'eigh'`` reads it off the spectral factorisation the TPU
+        solver computes anyway (exact, free); ``'power'`` replicates the
+        reference's fixed-count power iteration (Solver.cpp:46-59) for
+        trajectory parity.
+      act_eps: active-set threshold in the dual recovery / KKT differentiation
+        (Solver.cpp:129, :140, :270, :597, :639 all use 1e-10-ish guards).
+      mu_ir: Tikhonov weight of the regularised normal equations used for the
+        backward KKT solves (Solver.cpp:15 ``mu_ir=1e-7``).
+      ir_iters: fixed Richardson-refinement step count for those solves
+        (the reference runs at most 10 data-dependent steps, Solver.cpp:28;
+        we run a static count so the computation is shape-stable under jit).
+      axis_name: optional mesh axis name. When set, the convergence test of
+        the while-loop is reduced with ``jax.lax.pmax`` across that axis so
+        all shards of a ``shard_map``-ped solve agree on the stopping
+        iteration (the only collective the algorithm needs).
+    """
+
+    eps: float = 1e-10
+    eps_rel: float = 1e-4
+    mu_prox: float = 1e-7
+    max_iter: int = 1000
+    adaptive_rho: bool = True
+    alpha_relax: float = 1.5
+    mu_thresh: float = 10.0
+    tau_damping: float = 0.8
+    rho_update_period: int = 5
+    power_iters: int = 10
+    lmax_method: str = "eigh"
+    act_eps: float = 1e-10
+    mu_ir: float = 1e-7
+    ir_iters: int = 10
+    axis_name: Optional[str] = None
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference defaults for the two problem families. The QCQP family uses 100
+# power-iteration steps in the reference (Solver.cpp:530) vs 10 for QPs
+# (Solver.cpp:71); only relevant when lmax_method == 'power'.
+QP_DEFAULTS = SolverConfig()
+QCQP_DEFAULTS = SolverConfig(power_iters=100)

@@ -1,0 +1,8 @@
+from .sharding import (
+    BATCH_AXIS,
+    make_batch_mesh,
+    shard_batch,
+    solve_box_qp_sharded,
+    solve_qcqp_sharded,
+    solve_qp_sharded,
+)

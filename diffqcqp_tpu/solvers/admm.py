@@ -1,0 +1,238 @@
+"""One generic batched proximal over-relaxed adaptive-rho ADMM engine.
+
+The reference implements the same algorithm four times (solveQP
+Solver.cpp:61-123, solveBoxQP :198-261, solveSignedBoxQP :374-439, solveQCQP
+:521-582), differing only in the projection and the stopping rule. Here there
+is ONE engine, parameterised by a prox callable and a stopping-rule flag,
+operating on a whole batch of independent problems at once:
+
+  * the batch is the vector axis - every step is a batched matvec or an
+    element-wise op over (B, N) arrays;
+  * each problem carries its own (rho, tau, counters) and converges on its own
+    iteration; converged problems are frozen by masking while the
+    ``lax.while_loop`` keeps running until every problem (on every shard, via
+    an optional ``lax.pmax``) is done or ``max_iter`` is reached;
+  * adaptive rho never re-factors anything: the linear solve goes through the
+    spectral handle (ops/linalg.py), for which a shift change is free.
+
+Per-iteration recipe (matching Solver.cpp:79-121; note that in the reference
+``l_2_pred`` always equals the previous ``l_2`` at the top of an iteration, so
+steps (3) and (4) share one relaxation vector r):
+
+    l      = (P + (rho+mu_prox) I)^{-1} (rho*l2 - u - q_prox)     (1)
+    q_prox = q - mu_prox * l                                       (2)
+    r      = alpha*l + (1-alpha)*l2
+    l2'    = prox(r + u/rho)                                       (3)
+    u     += rho * (r - l2')                                       (4)
+    res_dual = rho * ||l2' - l2||_inf                              (5)
+    res_prim = ||l2' - r||_inf
+    stop: res_dual < eps                    (QP family, :88)
+          res_prim < eps + eps_rel*||l||_2 and res_dual < eps (QCQP, :548)
+    adaptive rho per problem                (:91-120)
+
+Known divergence from the reference (documented, intentional): the reference
+accepts a warm_start but overwrites it in the first loop statement before any
+use (Solver.cpp:70 vs :80) - warm starting is dead code there. Here
+``warm_start`` initialises the constraint iterate l2 (and is therefore a real
+warm start); passing zeros reproduces the reference trajectory exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..config import SolverConfig
+from ..ops.linalg import (
+    Factorization,
+    factorize,
+    linf_norm,
+    power_iteration,
+    solve_shifted,
+)
+
+
+class ADMMState(NamedTuple):
+    it: Array            # scalar int32, global iteration counter
+    l: Array             # (B, N) primal iterate
+    l2: Array            # (B, N) constraint-satisfying iterate (the output)
+    u: Array             # (B, N) scaled dual iterate
+    q_prox: Array        # (B, N) proximal recentred linear term
+    rho: Array           # (B,)
+    tau_inc: Array       # (B,)
+    tau_dec: Array       # (B,)
+    rho_up: Array        # (B,) int32: last rho direction (+1/-1/0)
+    cpt: Array           # (B,) int32: trigger counter (Solver.cpp:93 cpt%5)
+    converged: Array     # (B,) bool
+    iters: Array         # (B,) int32: per-problem iterations actually run
+    res_prim: Array      # (B,) last primal residual
+    res_dual: Array      # (B,) last dual residual
+    all_done: Array      # scalar bool (globally reduced when sharded)
+
+
+class SolveStats(NamedTuple):
+    """Per-problem solve diagnostics (the converged-vs-capped signal the
+    reference never returns - SURVEY.md section 7 bug list item 7)."""
+
+    iterations: Array    # (B,) int32
+    res_prim: Array      # (B,)
+    res_dual: Array      # (B,)
+    converged: Array     # (B,) bool
+
+
+def _initial_state(
+    fact: Factorization, P: Array, q: Array, warm_start: Array, cfg: SolverConfig
+) -> ADMMState:
+    B, _ = q.shape
+    dtype = q.dtype
+    if cfg.lmax_method == "power":
+        L = power_iteration(P, cfg.power_iters)
+    else:
+        L = fact.lmax
+    L = jnp.maximum(L, jnp.asarray(cfg.mu_prox, dtype))  # guard degenerate P=0
+    ratio = L / cfg.mu_prox
+    rho = jnp.sqrt(cfg.mu_prox * L) * ratio**0.4          # Solver.cpp:72
+    tau = ratio**0.15                                      # Solver.cpp:73
+    zeros = jnp.zeros_like(q)
+    return ADMMState(
+        it=jnp.zeros((), jnp.int32),
+        l=zeros,
+        l2=warm_start.astype(dtype),
+        u=zeros,
+        q_prox=q,
+        rho=rho.astype(dtype),
+        tau_inc=tau.astype(dtype),
+        tau_dec=tau.astype(dtype),
+        rho_up=jnp.zeros((B,), jnp.int32),
+        cpt=jnp.zeros((B,), jnp.int32),
+        converged=jnp.zeros((B,), bool),
+        iters=jnp.zeros((B,), jnp.int32),
+        res_prim=jnp.full((B,), jnp.inf, dtype),
+        res_dual=jnp.full((B,), jnp.inf, dtype),
+        all_done=jnp.zeros((), bool),
+    )
+
+
+def admm_solve(
+    P: Array,
+    q: Array,
+    warm_start: Array,
+    prox: Callable[[Array], Array],
+    cfg: SolverConfig,
+    qcqp_stopping: bool = False,
+    damp_both_taus: bool = True,
+) -> tuple[Array, SolveStats]:
+    """Run the batched ADMM to convergence.
+
+    Args:
+      P: (B, N, N) dense SPD or (B, N) diagonal quadratic term.
+      q: (B, N) linear term.
+      warm_start: (B, N) initial l2 iterate (zeros == reference trajectory).
+      prox: projection onto the constraint set, applied over (B, N).
+      cfg: static solver configuration.
+      qcqp_stopping: use the QCQP combined primal+dual rule (Solver.cpp:548)
+        instead of the QP family's dual-only rule (Solver.cpp:88).
+      damp_both_taus: the QP-family adaptive-rho damps both tau_inc and
+        tau_dec on a direction flip (Solver.cpp:95-96, :108-110); the QCQP
+        variant damps only the tau of the fired branch (Solver.cpp:554-556,
+        :568-570).
+
+    Returns:
+      (l2, SolveStats) with l2 the per-problem solution (B, N).
+    """
+    fact = factorize(P)
+    state0 = _initial_state(fact, P, q, warm_start, cfg)
+    dtype = q.dtype
+    eps = jnp.asarray(cfg.eps, dtype)
+    mu_prox = jnp.asarray(cfg.mu_prox, dtype)
+    alpha = jnp.asarray(cfg.alpha_relax, dtype)
+    damp = jnp.asarray(cfg.tau_damping, dtype)
+
+    def cond(s: ADMMState) -> Array:
+        return (s.it < cfg.max_iter) & ~s.all_done
+
+    def body(s: ADMMState) -> ADMMState:
+        active = ~s.converged
+        rho_c = s.rho[:, None]
+
+        l = solve_shifted(fact, rho_c * s.l2 - s.u - s.q_prox, s.rho + mu_prox)
+        q_prox = q - mu_prox * l
+        r = alpha * l + (1.0 - alpha) * s.l2
+        l2 = prox(r + s.u / rho_c)
+        u = s.u + rho_c * (r - l2)
+        res_dual = s.rho * linf_norm(l2 - s.l2)
+        res_prim = linf_norm(l2 - r)
+
+        if qcqp_stopping:
+            newly = (res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)) & (
+                res_dual < eps
+            )
+        else:
+            newly = res_dual < eps
+
+        # --- adaptive rho (Solver.cpp:91-120), only for problems that are
+        # still active and did not just converge (the reference breaks before
+        # the update on convergence).
+        adapt = active & ~newly
+        if cfg.adaptive_rho:
+            inc = adapt & (res_prim > cfg.mu_thresh * res_dual)
+            dec = adapt & ~inc & (res_dual > cfg.mu_thresh * res_prim)
+            fire = inc | dec
+            apply = fire & (s.cpt % cfg.rho_update_period == 0)
+            app_inc = apply & inc
+            app_dec = apply & dec
+            flip_inc = app_inc & (s.rho_up == -1)
+            flip_dec = app_dec & (s.rho_up == 1)
+            if damp_both_taus:
+                damp_mask = flip_inc | flip_dec
+                tau_inc = jnp.where(damp_mask, 1.0 + damp * (s.tau_inc - 1.0), s.tau_inc)
+                tau_dec = jnp.where(damp_mask, 1.0 + damp * (s.tau_dec - 1.0), s.tau_dec)
+            else:
+                tau_inc = jnp.where(flip_inc, 1.0 + damp * (s.tau_inc - 1.0), s.tau_inc)
+                tau_dec = jnp.where(flip_dec, 1.0 + damp * (s.tau_dec - 1.0), s.tau_dec)
+            rho = jnp.where(app_inc, s.rho * tau_inc, jnp.where(app_dec, s.rho / tau_dec, s.rho))
+            rho_up = jnp.where(app_inc, 1, jnp.where(app_dec, -1, s.rho_up))
+            cpt = jnp.where(fire, s.cpt + 1, s.cpt)
+        else:
+            tau_inc, tau_dec, rho, rho_up, cpt = s.tau_inc, s.tau_dec, s.rho, s.rho_up, s.cpt
+
+        # --- freeze converged problems
+        m = active[:, None]
+        l = jnp.where(m, l, s.l)
+        l2 = jnp.where(m, l2, s.l2)
+        u = jnp.where(m, u, s.u)
+        q_prox = jnp.where(m, q_prox, s.q_prox)
+        res_prim = jnp.where(active, res_prim, s.res_prim)
+        res_dual = jnp.where(active, res_dual, s.res_dual)
+        converged = s.converged | (active & newly)
+        iters = s.iters + active.astype(jnp.int32)
+
+        local_done = jnp.all(converged)
+        if cfg.axis_name is not None:
+            all_done = jax.lax.pmin(
+                local_done.astype(jnp.int32), axis_name=cfg.axis_name
+            ).astype(bool)
+        else:
+            all_done = local_done
+
+        return ADMMState(
+            it=s.it + 1,
+            l=l, l2=l2, u=u, q_prox=q_prox,
+            rho=rho, tau_inc=tau_inc, tau_dec=tau_dec,
+            rho_up=rho_up, cpt=cpt,
+            converged=converged, iters=iters,
+            res_prim=res_prim, res_dual=res_dual,
+            all_done=all_done,
+        )
+
+    final = jax.lax.while_loop(cond, body, state0)
+    stats = SolveStats(
+        iterations=final.iters,
+        res_prim=final.res_prim,
+        res_dual=final.res_dual,
+        converged=final.converged,
+    )
+    return final.l2, stats

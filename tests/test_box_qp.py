@@ -1,0 +1,101 @@
+"""Forward-solve correctness for box and signed-box QPs."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import diffqcqp_tpu as dq
+from tests import np_reference as ref
+
+CFG = dq.SolverConfig(eps=1e-10, max_iter=5000)
+
+
+def test_box_diagonal_closed_form(rng):
+    b, n = 16, 8
+    d = rng.random((b, n)) + 0.1
+    q = rng.standard_normal((b, n))
+    lo = -rng.random((b, n)) - 0.2
+    hi = rng.random((b, n)) + 0.2
+    l = np.array(
+        dq.solve_box_qp(jnp.array(d), jnp.array(q), jnp.array(lo), jnp.array(hi), config=CFG)
+    )
+    expected = np.clip(-q / d, lo, hi)
+    np.testing.assert_allclose(l, expected, atol=1e-7)
+
+
+def test_box_matches_reference_recipe(rng, spd):
+    b, n = 4, 6
+    P = spd(rng, b, n)
+    q = rng.standard_normal((b, n))
+    lo = -(rng.random((b, n)) * 0.5 + 1.0)
+    hi = rng.random((b, n)) * 0.5 + 1.0
+    cfg = CFG.replace(lmax_method="power", power_iters=10)
+    l = np.array(
+        dq.solve_box_qp(jnp.array(P), jnp.array(q), jnp.array(lo), jnp.array(hi), config=cfg)
+    )
+    for i in range(b):
+        l_ref, _, _, _ = ref.solve_box_qp(P[i], q[i], lo[i], hi[i], eps=1e-10, max_iter=5000)
+        np.testing.assert_allclose(l[i], l_ref, atol=1e-7)
+
+
+def test_box_kkt(rng, spd):
+    b, n = 8, 10
+    P = spd(rng, b, n)
+    q = rng.standard_normal((b, n)) * 2
+    lo = -(rng.random((b, n)) * 0.5 + 0.3)
+    hi = rng.random((b, n)) * 0.5 + 0.3
+    l, stats = dq.solve_box_qp_with_stats(
+        jnp.array(P), jnp.array(q), jnp.array(lo), jnp.array(hi), config=CFG
+    )
+    assert bool(np.all(stats.converged))
+    l = np.array(l)
+    assert np.all(l >= lo - 1e-9) and np.all(l <= hi + 1e-9)
+    Plq = np.einsum("bij,bj->bi", P, l) + q
+    interior = (l > lo + 1e-7) & (l < hi - 1e-7)
+    assert np.abs(np.where(interior, Plq, 0.0)).max() < 1e-6
+    # at lower bound the gradient must push down (Plq >= 0), at upper up.
+    at_lo = l <= lo + 1e-7
+    at_hi = l >= hi - 1e-7
+    assert np.where(at_lo & ~at_hi, Plq, 0.0).min() > -1e-6
+    assert np.where(at_hi & ~at_lo, Plq, 0.0).max() < 1e-6
+
+
+def test_signed_box_diagonal_closed_form(rng):
+    b, n = 16, 8
+    d = rng.random((b, n)) + 0.1
+    q = rng.standard_normal((b, n))
+    lo = np.full((b, n), -1.0)
+    hi = np.full((b, n), 1.0)
+    v = rng.standard_normal((b, n))
+    l = np.array(
+        dq.solve_signed_box_qp(
+            jnp.array(d), jnp.array(q), jnp.array(lo), jnp.array(hi), jnp.array(v), config=CFG
+        )
+    )
+    # coordinate-separable: minimise .5 d x^2 + q x over [lo, hi] with
+    # sign(v) x <= 0
+    unc = -q / d
+    vs = np.sign(v)
+    lo_eff = np.where(vs > 0, lo, np.where(vs < 0, 0.0, 0.0))
+    hi_eff = np.where(vs > 0, 0.0, np.where(vs < 0, hi, 0.0))
+    expected = np.clip(unc, lo_eff, hi_eff)
+    np.testing.assert_allclose(l, expected, atol=1e-7)
+
+
+def test_signed_box_matches_reference_recipe(rng, spd):
+    b, n = 4, 6
+    P = spd(rng, b, n)
+    q = rng.standard_normal((b, n))
+    lo = -(rng.random((b, n)) * 0.5 + 1.0)
+    hi = rng.random((b, n)) * 0.5 + 1.0
+    v = rng.standard_normal((b, n))
+    cfg = CFG.replace(lmax_method="power", power_iters=10)
+    l = np.array(
+        dq.solve_signed_box_qp(
+            jnp.array(P), jnp.array(q), jnp.array(lo), jnp.array(hi), jnp.array(v), config=cfg
+        )
+    )
+    for i in range(b):
+        l_ref, _, _, _ = ref.solve_signed_box_qp(
+            P[i], q[i], lo[i], hi[i], v[i], eps=1e-10, max_iter=5000
+        )
+        np.testing.assert_allclose(l[i], l_ref, atol=1e-7)
