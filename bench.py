@@ -84,6 +84,13 @@ def baseline_problems_per_sec(b=256, nc=12, eps=1e-7, max_iter=400):
     try:
         from diffqcqp_tpu.native import host_solver
 
+        if not host_solver.available():
+            import subprocess
+
+            subprocess.run(
+                ["make", "-C", "native"], check=True, capture_output=True,
+                cwd=__file__.rsplit("/", 1)[0] or ".",
+            )
         P, q, l_n, mu = _build_problems(b, nc, np.float64, seed=1)
         t0 = time.perf_counter()
         host_solver.solve_qcqp_batch(
