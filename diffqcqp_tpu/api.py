@@ -32,6 +32,7 @@ from jax import Array
 
 from .config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
 from .diff import kkt
+from .kernels import admm_pallas
 from .ops.prox import prox_box, prox_disk, prox_nonneg, prox_signed_box
 from .solvers.admm import SolveStats, admm_solve
 from .utils.shapes import canon_like, canon_problem
@@ -89,12 +90,36 @@ def _grad_P(dl: Array, l: Array, P: Array) -> Array:
     return -0.5 * (outer + jnp.swapaxes(outer, -1, -2))
 
 
+def _use_pallas(P, q, cfg: SolverConfig) -> bool:
+    """Dispatch: the fused pallas kernel handles dense float32 problems with
+    N <= 32 on TPU; everything else goes through the XLA engine. The pallas
+    path always estimates L by power iteration (reference semantics) and is
+    per-tile rather than globally synchronised, so it is not used when a
+    cross-shard axis_name is set (the XLA engine's pmin handles that)."""
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend != "auto":
+        return False
+    return (
+        P.ndim == 3
+        and P.shape[-1] <= 32
+        and q.dtype == jnp.float32
+        and cfg.axis_name is None
+        and jax.default_backend() == "tpu"
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-negative QP
 # --------------------------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _qp(P, q, ws, cfg):
+    if _use_pallas(P, q, cfg):
+        return admm_pallas.admm_solve_pallas(
+            P, q, ws, admm_pallas.PROX_NONNEG, (), cfg,
+            tile_b=cfg.pallas_tile_b,
+        )
     return admm_solve(P, q, ws, prox_nonneg, cfg)
 
 
@@ -120,6 +145,11 @@ _qp.defvjp(_qp_fwd, _qp_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _box_qp(P, q, l_min, l_max, ws, cfg):
+    if _use_pallas(P, q, cfg):
+        return admm_pallas.admm_solve_pallas(
+            P, q, ws, admm_pallas.PROX_BOX, (l_min, l_max), cfg,
+            tile_b=cfg.pallas_tile_b,
+        )
     prox = lambda x: prox_box(x, l_min, l_max)
     return admm_solve(P, q, ws, prox, cfg)
 
@@ -158,6 +188,11 @@ _box_qp.defvjp(_box_qp_fwd, _box_qp_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _signed_box_qp(P, q, l_min, l_max, v, ws, cfg):
     v_sign = jnp.sign(v)
+    if _use_pallas(P, q, cfg):
+        return admm_pallas.admm_solve_pallas(
+            P, q, ws, admm_pallas.PROX_SIGNED_BOX, (l_min, l_max, v_sign),
+            cfg, tile_b=cfg.pallas_tile_b,
+        )
     prox = lambda x: prox_signed_box(x, l_min, l_max, v_sign)
     return admm_solve(P, q, ws, prox, cfg)
 
@@ -195,6 +230,11 @@ _signed_box_qp.defvjp(_signed_box_qp_fwd, _signed_box_qp_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _qcqp(P, q, l_n, mu, ws, cfg):
     radius = l_n * mu                       # pybindings.cpp:57
+    if _use_pallas(P, q, cfg):
+        return admm_pallas.admm_solve_pallas(
+            P, q, ws, admm_pallas.PROX_DISK, (radius,), cfg,
+            qcqp_stopping=True, damp_both=False, tile_b=cfg.pallas_tile_b,
+        )
     prox = lambda x: prox_disk(x, radius)
     return admm_solve(
         P, q, ws, prox, cfg, qcqp_stopping=True, damp_both_taus=False

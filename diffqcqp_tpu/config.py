@@ -56,6 +56,13 @@ class SolverConfig:
         the while-loop is reduced with ``jax.lax.pmax`` across that axis so
         all shards of a ``shard_map``-ped solve agree on the stopping
         iteration (the only collective the algorithm needs).
+      backend: ``'auto'`` | ``'xla'`` | ``'pallas'``. The pallas backend is
+        the fused single-kernel TPU path (kernels/admm_pallas.py; float32,
+        dense P, N <= 32, always power-iteration L). ``'auto'`` picks pallas
+        exactly when those conditions hold on a TPU backend, else the pure
+        XLA engine (solvers/admm.py).
+      pallas_tile_b: problems per kernel instance (lane-tile width) for the
+        pallas backend.
     """
 
     eps: float = 1e-10
@@ -73,6 +80,8 @@ class SolverConfig:
     mu_ir: float = 1e-7
     ir_iters: int = 10
     axis_name: Optional[str] = None
+    backend: str = "auto"
+    pallas_tile_b: int = 256
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

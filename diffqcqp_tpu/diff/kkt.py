@@ -3,10 +3,23 @@
 The reference does this with dynamic active-set index gymnastics (building
 compacted matrices whose size depends on how many constraints are active:
 Solver.cpp:136-196 QP, :263-371 box, :441-502 signed box, :584-681 QCQP). That
-is unjittable. Here every system is FIXED-SHAPE: all constraint slots are kept
-and inactive slots are masked to zero rows/columns, which decouple under the
-regularised normal-equations solve (ops/linalg.refine_solve) and come back as
-exact zeros - the same answers as the reference's compacted systems.
+is unjittable. Here every system is FIXED-SHAPE: all constraint slots are
+kept, inactive slots become decoupled identity rows/columns (solving exactly
+to zero), and the transposed differentiated-KKT system is solved DIRECTLY
+with a batched LU (jnp.linalg.solve) - the same answers as the reference's
+compacted systems on non-degenerate problems.
+
+Why LU and not the reference's regularised normal equations
+(iterative_refinement, Solver.cpp:15-44): squaring the system squares its
+condition number, and the Richardson recurrence's contraction factor is
+mu_ir/(sigma_min^2 + mu_ir) - for the saddle-structured KKT adjoints
+(condition ~1e4-1e6 on routine problems) a fixed iteration budget simply
+does not converge, in float64 or float32. The unsquared LU is exact in f64
+and loses only ~cond * eps_f32 in f32. Weakly-active constraints
+(gamma ~ 0 at an active constraint - a genuinely non-differentiable point)
+would make the unsquared system singular, so slots additionally require
+gamma > act_eps to enter the system; this picks the "inactive branch"
+subgradient at those measure-zero points.
 
 Sign conventions: stationarity is written P l + q + J^T gamma = 0 with
 gamma >= 0 the standard KKT multipliers of constraints c(l) <= 0. This matches
@@ -41,6 +54,11 @@ from ..config import SolverConfig
 from ..ops.linalg import refine_solve
 
 
+def _lu_solve_T(S: Array, rhs: Array) -> Array:
+    """Solve S^T x = rhs with a batched LU; S (B, m, m), rhs (B, m)."""
+    return jnp.linalg.solve(jnp.swapaxes(S, -1, -2), rhs[..., None])[..., 0]
+
+
 def _as_dense(P: Array) -> Array:
     """Expand a diagonal-P batch (B, N) to dense (B, N, N) for KKT assembly."""
     if P.ndim == 2:
@@ -72,7 +90,10 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     Active set: gamma < -act_eps (Solver.cpp:140). The differentiated KKT
     system decouples (Solver.cpp:148-177 builds structurally-zero off-diagonal
     blocks), leaving P_ff^T dl_f = g_f on the free set. Fixed-shape encoding:
-    K = mask_f P mask_f + diag(active * l), solve K^T x = mask_f * g.
+    K = mask_f P mask_f + diag(active), solve K^T x = mask_f * g by LU (the
+    active-slot diagonal is 1 rather than the reference's l_act ~ 0: the
+    block is decoupled either way and solves to exactly zero, but the unit
+    diagonal keeps the direct solve well conditioned).
     """
     gamma = qp_dual(P, q, l, cfg)
     active = gamma < -cfg.act_eps
@@ -82,9 +103,9 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     Pd = _as_dense(P)
     n = l.shape[-1]
     K = Pd * fm[:, :, None] * fm[:, None, :] + jnp.eye(n, dtype=l.dtype) * (
-        am * l
+        am
     )[:, None, :]
-    x = refine_solve(jnp.swapaxes(K, -1, -2), g * fm, cfg.mu_ir, cfg.ir_iters)
+    x = _lu_solve_T(K, g * fm)
     return x * fm
 
 
@@ -151,26 +172,31 @@ def box_vjp(
     """Adjoint of the box-QP solution map (Solver.cpp:310-371, fixed-shape).
 
     System (before transpose), unknowns (dgamma (2n), dl (n)):
-        [[0,  B],      B = diag(gamma) J^T   (masked rows)
-         [J,  P]]      J = masked signed selector (n, 2n)
-    solve S^T x = [0; g]; x = (dgamma, dl).
+        [[I_inact, B],    B = diag(gamma) J^T  (rows only for strict slots)
+         [J,       P]]    J = masked signed selector (n, 2n)
+    solve S^T x = [0; g] by LU; x = (dgamma, dl). A slot enters the system
+    only if primal-active AND gamma > act_eps (strict complementarity);
+    other slots are decoupled identity rows solving to zero.
     """
     if duals is None:
         duals = box_dual(P, q, l_min, l_max, l, cfg)
     n = l.shape[-1]
-    J = _box_selector(duals.act_lo, duals.act_hi, l.dtype)
-    Bmat = duals.gamma[:, :, None] * jnp.swapaxes(J, -1, -2)
+    act_prim = jnp.concatenate([duals.act_lo, duals.act_hi], axis=-1)
+    act = act_prim & (duals.gamma > cfg.act_eps)
+    am = act.astype(l.dtype)
+    J = _box_selector(
+        act[:, :n], act[:, n:], l.dtype
+    )
+    Bmat = (duals.gamma * am)[:, :, None] * jnp.swapaxes(J, -1, -2)
     Pd = _as_dense(P)
     Bsz = l.shape[0]
-    top = jnp.concatenate(
-        [jnp.zeros((Bsz, 2 * n, 2 * n), l.dtype), Bmat], axis=-1
-    )
+    eye_inact = jnp.eye(2 * n, dtype=l.dtype) * (1.0 - am)[:, None, :]
+    top = jnp.concatenate([eye_inact, Bmat], axis=-1)
     bot = jnp.concatenate([J, Pd], axis=-1)
     S = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((Bsz, 2 * n), l.dtype), g], axis=-1)
-    x = refine_solve(jnp.swapaxes(S, -1, -2), rhs, cfg.mu_ir, cfg.ir_iters)
-    mask = jnp.concatenate([duals.act_lo, duals.act_hi], axis=-1).astype(l.dtype)
-    return BoxVJP(dl=x[:, 2 * n :], dgamma=x[:, : 2 * n] * mask, gamma=duals.gamma)
+    x = _lu_solve_T(S, rhs)
+    return BoxVJP(dl=x[:, 2 * n :], dgamma=x[:, : 2 * n] * am, gamma=duals.gamma)
 
 
 # --------------------------------------------------------------------------
@@ -244,21 +270,22 @@ def signed_box_vjp(
     duals = signed_box_dual(P, q, l_min, l_max, v, l, cfg)
     v_sign = jnp.sign(v)
     n = l.shape[-1]
-    J = _signed_selector(duals.act_lo, duals.act_hi, duals.act_sg, v_sign)
-    Bmat = duals.gamma[:, :, None] * jnp.swapaxes(J, -1, -2)
+    act_prim = jnp.concatenate(
+        [duals.act_lo, duals.act_hi, duals.act_sg], axis=-1
+    )
+    act = act_prim & (duals.gamma > cfg.act_eps)
+    am = act.astype(l.dtype)
+    J = _signed_selector(act[:, :n], act[:, n : 2 * n], act[:, 2 * n :], v_sign)
+    Bmat = (duals.gamma * am)[:, :, None] * jnp.swapaxes(J, -1, -2)
     Pd = _as_dense(P)
     Bsz = l.shape[0]
-    top = jnp.concatenate(
-        [jnp.zeros((Bsz, 3 * n, 3 * n), l.dtype), Bmat], axis=-1
-    )
+    eye_inact = jnp.eye(3 * n, dtype=l.dtype) * (1.0 - am)[:, None, :]
+    top = jnp.concatenate([eye_inact, Bmat], axis=-1)
     bot = jnp.concatenate([J, Pd], axis=-1)
     S = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((Bsz, 3 * n), l.dtype), g], axis=-1)
-    x = refine_solve(jnp.swapaxes(S, -1, -2), rhs, cfg.mu_ir, cfg.ir_iters)
-    mask = jnp.concatenate(
-        [duals.act_lo, duals.act_hi, duals.act_sg], axis=-1
-    ).astype(l.dtype)
-    return SignedBoxVJP(dl=x[:, 3 * n :], dgamma=x[:, : 3 * n] * mask, gamma=duals.gamma)
+    x = _lu_solve_T(S, rhs)
+    return SignedBoxVJP(dl=x[:, 3 * n :], dgamma=x[:, : 3 * n] * am, gamma=duals.gamma)
 
 
 # --------------------------------------------------------------------------
@@ -311,9 +338,11 @@ def qcqp_vjp(
 
     Squared-slack form s_i = ||l_(i)||^2 - r_i^2; system (before transpose),
     unknowns (dgamma (nc), dl (2nc)):
-        [[diag(s) (masked),  B],    B = diag(gamma) C^T (masked rows)
-         [C (masked cols),   D]]    D = P + blockdiag(2 gamma_i I_2)
-    Active iff s > -act_eps AND r > act_eps (Solver.cpp:639).
+        [[diag(s)+I_inact,  B],    B = diag(gamma) C^T (rows for strict slots)
+         [C (masked cols),  D]]    D = P + blockdiag(2 gamma_i I_2)
+    Active iff s > -act_eps AND r > act_eps (Solver.cpp:639) AND
+    gamma > act_eps (strict complementarity, required by the direct LU
+    solve; see module docstring). Solved as S^T x = [0; g] by LU.
     """
     if duals is None:
         duals = qcqp_dual(P, q, radius, l, cfg)
@@ -321,24 +350,27 @@ def qcqp_vjp(
     nc = radius.shape[-1]
     pts = l.reshape(B_, nc, 2)
     s = jnp.sum(pts * pts, axis=-1) - radius * radius
-    active = (s > -cfg.act_eps) & (radius > cfg.act_eps)
+    active = (
+        (s > -cfg.act_eps) & (radius > cfg.act_eps) & (duals.gamma > cfg.act_eps)
+    )
     am = active.astype(l.dtype)
 
     # C (B, n, nc): column i = 2 l_(i) in rows (2i, 2i+1), masked by activity.
     contact_of = jnp.arange(n) // 2                     # (n,)
     col_sel = (contact_of[:, None] == jnp.arange(nc)[None, :]).astype(l.dtype)
     C = 2.0 * l[:, :, None] * col_sel * am[:, None, :]
-    Bmat = duals.gamma[:, :, None] * jnp.swapaxes(C, -1, -2)  # (B, nc, n)
+    Bmat = (duals.gamma * am)[:, :, None] * jnp.swapaxes(C, -1, -2)  # (B, nc, n)
     gamma_per_coord = jnp.repeat(duals.gamma, 2, axis=-1)     # (B, n)
     D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(n, dtype=l.dtype)
 
     top = jnp.concatenate(
-        [jnp.eye(nc, dtype=l.dtype) * (s * am)[:, :, None], Bmat], axis=-1
+        [jnp.eye(nc, dtype=l.dtype) * (s * am + (1.0 - am))[:, :, None], Bmat],
+        axis=-1,
     )
     bot = jnp.concatenate([C, D], axis=-1)
     S = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((B_, nc), l.dtype), g], axis=-1)
-    x = refine_solve(jnp.swapaxes(S, -1, -2), rhs, cfg.mu_ir, cfg.ir_iters)
+    x = _lu_solve_T(S, rhs)
     return QCQPVJP(dl=x[:, nc:], dgamma=x[:, :nc] * am, gamma=duals.gamma)
 
 

@@ -1,0 +1,396 @@
+"""Fused Pallas TPU kernel for the whole ADMM solve (self-contained).
+
+Why a kernel: XLA's batched small-matrix linear algebra is hostile to this
+workload - measured on a v5e chip at B=4096, N=24: ``jnp.linalg.eigh`` 196 ms,
+``cholesky`` 11.6 ms, a triangular-solve pair 2.1 ms PER ITERATION, while the
+whole ADMM loop needs ~40 iterations of a few hundred kFLOP each. The right
+TPU program is ONE kernel per batch tile that loads P once into VMEM and does
+EVERYTHING there: the power-iteration L estimate, the Cholesky factorisation
+of P + (rho+mu)I, the ADMM loop with triangular solves, and the masked
+refactorisations when the per-problem adaptive-rho schedule fires. HBM
+traffic is O(B*N^2) total instead of O(iters * B * N^2), and no XLA linalg
+kernel is ever invoked.
+
+Layout: problems live on the LANE axis (last dim, multiples of 128) and
+problem coordinates on the sublane axis - the struct-of-arrays trick for
+batching tiny problems on a vector unit. Every dense step (matvec against P,
+Cholesky column update, triangular-solve sweep) is a short unrolled chain of
+(N, TILE_B) fused multiply-adds on the VPU; per-problem scalars (rho, taus,
+counters, masks) are (1, TILE_B) float32 rows. There is no MXU-sized matmul
+anywhere in this workload (per-problem matrices are ~24x24), so VPU on
+VMEM-resident data IS the speed-of-light path.
+
+For the QCQP disk prox the coordinates are pre-permuted so contact i owns
+rows (i, nc+i) instead of (2i, 2i+1): the per-contact 2-norm then reads as
+x[:nc]**2 + x[nc:]**2 - pure elementwise. The permutation is applied to P
+(rows+cols) in XLA and undone on the output.
+
+Mosaic quirks encoded here (found the hard way):
+  * (1, lanes) loop-carried vectors must NOT be initialised from constants -
+    constants get a sublane-replicated layout and the carry relayout
+    (concrete -> replicated) is rejected. All zero-inits derive from loaded
+    data.
+  * int32 (1, lanes) carries hit the same relayout bug - counters and masks
+    are f32 (exact below 2^24) and cast outside the kernel.
+
+The engine semantics mirror solvers/admm.py exactly (same constants, same
+update order, same stopping rules); tests/test_pallas.py asserts parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SolverConfig
+from ..solvers.admm import SolveStats
+
+PROX_NONNEG = 0
+PROX_BOX = 1
+PROX_SIGNED_BOX = 2
+PROX_DISK = 3
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _admm_chol_kernel(
+    # inputs (VMEM refs)
+    p_ref, q_ref, ws_ref,
+    a_ref, b_ref, c_ref,            # prox params (see wrapper)
+    # outputs
+    l2_out, iters_out, resp_out, resd_out, conv_out,
+    # scratch
+    lc_ref,                          # (n, n, tb) Cholesky factor
+    *,
+    n: int, n_real: int, nc: int, prox_kind: int, cfg: SolverConfig,
+    qcqp_stopping: bool, damp_both: bool,
+):
+    f32 = jnp.float32
+    eps = f32(cfg.eps)
+    mu_prox = f32(cfg.mu_prox)
+    alpha = f32(cfg.alpha_relax)
+    mu_thresh = f32(cfg.mu_thresh)
+    damp = f32(cfg.tau_damping)
+    eps_rel = f32(cfg.eps_rel)
+    tiny = f32(1e-30)
+
+    q = q_ref[:]
+    tb = q.shape[-1]
+    zeros_1 = jnp.sum(q[0:1, :], axis=0, keepdims=True) * 0.0   # concrete-layout (1, tb)
+    zeros_nv = q * 0.0
+
+    # row-index column (n, 1) built in-kernel (pallas kernels cannot capture
+    # array constants), broadcast over lanes in comparisons
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def matvec_p(x):
+        acc = p_ref[:, 0, :] * x[0:1, :]
+        for k in range(1, n):
+            acc += p_ref[:, k, :] * x[k : k + 1, :]
+        return acc
+
+    # ---- power iteration for L (reference: Solver.cpp:46-59, fixed count)
+    v = zeros_nv + jnp.where(
+        row_idx < n_real, f32(1.0 / np.sqrt(n_real)), f32(0.0)
+    ).astype(f32)
+    for _ in range(cfg.power_iters):
+        av = matvec_p(v)
+        nrm = jnp.sqrt(jnp.sum(av * av, axis=0, keepdims=True))
+        v = av / jnp.maximum(nrm, tiny)
+    L = jnp.sum(v * matvec_p(v), axis=0, keepdims=True)
+    L = jnp.maximum(L, mu_prox)
+    ratio = L / mu_prox
+    rho0 = jnp.sqrt(mu_prox * L) * jnp.power(ratio, f32(0.4))
+    tau0 = jnp.power(ratio, f32(0.15))
+
+    def factorize(shift):
+        """lc_ref <- chol(P + diag(shift)), shift (1, tb), per lane."""
+        for j in range(n):
+            ej = (row_idx == j).astype(f32)
+            s = p_ref[:, j, :] + ej * shift
+            for k in range(j):
+                colk = lc_ref[:, k, :]
+                s = s - colk * colk[j : j + 1, :]
+            d = jnp.maximum(s[j : j + 1, :], tiny)
+            col = s * jax.lax.rsqrt(d)
+            mask = (row_idx >= j).astype(f32)
+            lc_ref[:, j, :] = col * mask
+
+    def solve_normal(rhs):
+        """x = (L L^T)^{-1} rhs via two unrolled triangular sweeps."""
+        acc = rhs
+        ys = []
+        for i in range(n):
+            coli = lc_ref[:, i, :]
+            yi = acc[i : i + 1, :] / coli[i : i + 1, :]
+            ys.append(yi)
+            acc = acc - coli * yi
+        y = jnp.concatenate(ys, axis=0)
+        acc = y
+        xs = [None] * n
+        for i in reversed(range(n)):
+            rowi = lc_ref[i]                       # (n, tb): Lc[i, k]
+            xi = acc[i : i + 1, :] / rowi[i : i + 1, :]
+            xs[i] = xi
+            acc = acc - rowi * xi
+        return jnp.concatenate(xs, axis=0)
+
+    def prox(x):
+        if prox_kind == PROX_NONNEG:
+            return jnp.maximum(x, 0.0)
+        if prox_kind == PROX_BOX:
+            return jnp.minimum(jnp.maximum(x, a_ref[:]), b_ref[:])
+        if prox_kind == PROX_SIGNED_BOX:
+            y = jnp.minimum(jnp.maximum(x, a_ref[:]), b_ref[:])
+            vs = c_ref[:]
+            return vs * jnp.minimum(vs * y, 0.0)
+        # PROX_DISK (permuted layout: contact c owns rows (c, nc + c))
+        r = a_ref[:nc, :]
+        xa = x[:nc, :]
+        xb = x[nc : 2 * nc, :]
+        nrm = jnp.sqrt(xa * xa + xb * xb)
+        scale = jnp.where(nrm > r, r / jnp.maximum(nrm, tiny), f32(1.0))
+        parts = [xa * scale, xb * scale]
+        if n > 2 * nc:
+            parts.append(x[2 * nc :, :])
+        return jnp.concatenate(parts, axis=0)
+
+    factorize(rho0 + mu_prox)
+
+    state = (
+        jnp.zeros((), jnp.int32),           # it
+        ws_ref[:],                           # l2
+        zeros_nv,                            # u
+        q,                                   # q_prox
+        rho0,                                # rho
+        tau0,                                # tau_inc
+        tau0,                                # tau_dec
+        zeros_1,                             # rho_up  (f32 {-1,0,1})
+        zeros_1,                             # cpt     (f32 counter)
+        zeros_1,                             # converged (f32 0/1)
+        zeros_1,                             # iters   (f32 counter)
+        zeros_1 + f32(jnp.inf),              # res_prim
+        zeros_1 + f32(jnp.inf),              # res_dual
+        jnp.zeros((), jnp.bool_),            # all_done
+    )
+
+    def cond(s):
+        return (s[0] < cfg.max_iter) & ~s[13]
+
+    def body(s):
+        (it, l2, u, q_prox, rho, tau_inc, tau_dec, rho_up, cpt,
+         conv, iters, resp, resd, _) = s
+        active = 1.0 - conv
+
+        l = solve_normal(rho * l2 - u - q_prox)
+        q_prox_n = q - mu_prox * l
+        r = alpha * l + (f32(1.0) - alpha) * l2
+        l2_n = prox(r + u / rho)
+        u_n = u + rho * (r - l2_n)
+        rd = rho * jnp.max(jnp.abs(l2_n - l2), axis=0, keepdims=True)
+        rp = jnp.max(jnp.abs(l2_n - r), axis=0, keepdims=True)
+
+        if qcqp_stopping:
+            lnorm = jnp.sqrt(jnp.sum(l * l, axis=0, keepdims=True))
+            newly = ((rp < eps + eps_rel * lnorm) & (rd < eps)).astype(f32)
+        else:
+            newly = (rd < eps).astype(f32)
+
+        adapt = active * (1.0 - newly)
+        if cfg.adaptive_rho:
+            inc = adapt * (rp > mu_thresh * rd).astype(f32)
+            dec = adapt * (1.0 - inc) * (rd > mu_thresh * rp).astype(f32)
+            fire = inc + dec
+            period_ok = (
+                cpt - jnp.floor(cpt / cfg.rho_update_period) * cfg.rho_update_period
+            ) < 0.5
+            apply = fire * period_ok.astype(f32)
+            app_inc = apply * inc
+            app_dec = apply * dec
+            flip_inc = app_inc * (rho_up < -0.5).astype(f32)
+            flip_dec = app_dec * (rho_up > 0.5).astype(f32)
+            damped_inc = 1.0 + damp * (tau_inc - 1.0)
+            damped_dec = 1.0 + damp * (tau_dec - 1.0)
+            if damp_both:
+                dm = flip_inc + flip_dec
+                tau_inc_n = dm * damped_inc + (1.0 - dm) * tau_inc
+                tau_dec_n = dm * damped_dec + (1.0 - dm) * tau_dec
+            else:
+                tau_inc_n = flip_inc * damped_inc + (1.0 - flip_inc) * tau_inc
+                tau_dec_n = flip_dec * damped_dec + (1.0 - flip_dec) * tau_dec
+            rho_n = (
+                app_inc * (rho * tau_inc_n)
+                + app_dec * (rho / tau_dec_n)
+                + (1.0 - app_inc - app_dec) * rho
+            )
+            rho_up_n = app_inc - app_dec + (1.0 - app_inc - app_dec) * rho_up
+            cpt_n = cpt + fire
+
+            # refactor the tile's Cholesky when any lane's rho changed; lanes
+            # with unchanged rho recompute the identical factor (pure
+            # function of P and rho), so a tile-wide refactor is sound.
+            any_change = jnp.max(app_inc + app_dec) > 0.5
+
+            @pl.when(any_change)
+            def _():
+                factorize(rho_n + mu_prox)
+        else:
+            tau_inc_n, tau_dec_n, rho_n, rho_up_n, cpt_n = (
+                tau_inc, tau_dec, rho, rho_up, cpt,
+            )
+
+        keep = active
+        l2_o = keep * l2_n + (1.0 - keep) * l2
+        u_o = keep * u_n + (1.0 - keep) * u
+        qp_o = keep * q_prox_n + (1.0 - keep) * q_prox
+        resp_o = keep * rp + (1.0 - keep) * resp
+        resd_o = keep * rd + (1.0 - keep) * resd
+        conv_o = jnp.maximum(conv, active * newly)
+        iters_o = iters + active
+        done = jnp.min(conv_o) > 0.5
+
+        return (it + 1, l2_o, u_o, qp_o, rho_n, tau_inc_n, tau_dec_n,
+                rho_up_n, cpt_n, conv_o, iters_o, resp_o, resd_o, done)
+
+    final = jax.lax.while_loop(cond, body, state)
+    l2_out[:] = final[1]
+    iters_out[:] = final[10]
+    resp_out[:] = final[11]
+    resd_out[:] = final[12]
+    conv_out[:] = final[9]
+
+
+def _qcqp_perm(n: int):
+    """Permutation: reference coordinate order (2i, 2i+1 per contact) ->
+    kernel order (i, nc+i)."""
+    nc = n // 2
+    perm = np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1])
+    inv = np.argsort(perm)
+    return perm, inv
+
+
+def admm_solve_pallas(
+    P: Array,
+    q: Array,
+    warm_start: Array,
+    prox_kind: int,
+    prox_args: tuple,
+    cfg: SolverConfig,
+    qcqp_stopping: bool = False,
+    damp_both: bool = True,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> tuple[Array, SolveStats]:
+    """Drop-in replacement for solvers.admm.admm_solve (dense P).
+
+    Computes in float32 regardless of input dtype (TPU-native precision);
+    outputs are cast back. prox_args: () | (l_min, l_max) |
+    (l_min, l_max, v_sign) | (radius,).
+    """
+    B, n = q.shape
+    nc = n // 2
+    orig_dtype = q.dtype
+    f32 = jnp.float32
+
+    if prox_kind == PROX_DISK:
+        perm, inv = _qcqp_perm(n)
+        P = P[:, perm][:, :, perm]
+        q_k = q[:, perm]
+        ws_k = warm_start[:, perm]
+    else:
+        q_k = q
+        ws_k = warm_start
+
+    tb = min(tile_b, _round_up(B, _LANES))
+    Bp = _round_up(B, tb)
+    n_pad = _round_up(n, 8)
+    pad_b = Bp - B
+    pad_n = n_pad - n
+
+    def to_kernel_vec(x, fill=0.0):
+        x = jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_n)), constant_values=fill)
+        return x.T
+
+    # P: (B, n, n) -> (n_pad, n_pad, Bp); padded coords get identity diagonal,
+    # padded problems get P = I (solve trivially to 0 since their q = 0).
+    P_p = jnp.pad(P.astype(f32), ((0, pad_b), (0, pad_n), (0, pad_n)))
+    if pad_n:
+        pad_eye = np.zeros((n_pad, n_pad), np.float32)
+        pad_eye[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
+        P_p = P_p + jnp.asarray(pad_eye)[None]
+    if pad_b:
+        P_p = P_p.at[B:, :n, :n].add(jnp.eye(n, dtype=f32)[None])
+    P_k = jnp.transpose(P_p, (1, 2, 0))
+
+    q_kk = to_kernel_vec(q_k)
+    ws_kk = to_kernel_vec(ws_k)
+
+    zero_plane = jnp.zeros((n_pad, Bp), f32)
+    if prox_kind == PROX_BOX:
+        a_k = to_kernel_vec(prox_args[0], fill=-1.0)
+        b_k = to_kernel_vec(prox_args[1], fill=1.0)
+        c_k = zero_plane
+    elif prox_kind == PROX_SIGNED_BOX:
+        a_k = to_kernel_vec(prox_args[0], fill=-1.0)
+        b_k = to_kernel_vec(prox_args[1], fill=1.0)
+        c_k = to_kernel_vec(prox_args[2], fill=0.0)
+    elif prox_kind == PROX_DISK:
+        radius = prox_args[0].astype(f32)              # (B, nc)
+        r_plane = jnp.zeros((Bp, n_pad), f32)
+        r_plane = r_plane.at[:B, :nc].set(radius)
+        a_k = r_plane.T
+        b_k = zero_plane
+        c_k = zero_plane
+    else:
+        a_k = zero_plane
+        b_k = zero_plane
+        c_k = zero_plane
+
+    grid = (Bp // tb,)
+    vec_spec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec(
+        (n_pad, n_pad, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _admm_chol_kernel,
+        n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg,
+        qcqp_stopping=qcqp_stopping, damp_both=damp_both,
+    )
+    l2_k, iters_k, resp_k, resd_k, conv_k = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat_spec, vec_spec, vec_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=(vec_spec, row_spec, row_spec, row_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),    # iters (f32 in-kernel)
+            jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),    # converged mask (f32)
+        ),
+        scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tb), f32)],
+        interpret=interpret,
+    )(P_k, q_kk, ws_kk, a_k, b_k, c_k)
+
+    l2 = l2_k.T[:B, :n]
+    if prox_kind == PROX_DISK:
+        l2 = l2[:, inv]
+    stats = SolveStats(
+        iterations=iters_k[0, :B].astype(jnp.int32),
+        res_prim=resp_k[0, :B].astype(orig_dtype),
+        res_dual=resd_k[0, :B].astype(orig_dtype),
+        converged=conv_k[0, :B] > 0.5,
+    )
+    return l2.astype(orig_dtype), stats

