@@ -1,0 +1,304 @@
+"""Benchmark suite reproducing BASELINE.md's five configurations.
+
+The reference's benchmark harness (test_script.py:87-252) times single
+problems in a Python loop against qpth/cvxpylayers/OSQP; it is bit-rotted
+(SURVEY.md section 2.2 P6). This suite is its working TPU-era replacement:
+each config prints one JSON line with throughput, convergence statistics and
+(where the native host solver is built) a float64 accuracy cross-check.
+
+Configs (BASELINE.md "north-star targets"):
+  1  B=10    N=8  diagonal-P non-negative QP (the README example)
+  2  B=128   N=24 dense-P QP with warm starts
+  3  B=128   8-contact friction-cone QCQP
+  4  B=4096  mixed QP/QCQP fwd+bwd inside an Adam system-ID step
+  5  B=65536 QCQP batch-sharded over a device mesh (all local devices;
+     single-chip here, the same code path scales to multi-host meshes)
+
+Timing protocol: the repetition loop runs ON DEVICE inside one jitted call
+(the TPU tunnel in this environment makes per-dispatch host timing
+unreliable), with inputs perturbed per repetition; a scalar readback closes
+each measurement.
+
+Usage: python benchmarks/run_benchmarks.py [--config N|all] [--reps R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root (for bench helpers)
+
+
+def _spd(rng, b, n, dtype):
+    s = rng.standard_normal((b, n, n)).astype(dtype) / np.sqrt(n)
+    return s @ s.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=dtype)
+
+
+def _timed_loop(fn, args, reps):
+    """Compile, warm, then time `reps` on-device iterations."""
+    _ = float(fn(*args))
+    t0 = time.perf_counter()
+    _ = float(fn(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+def _accuracy_vs_native(kind, dtype_out, *problem):
+    """Max |l_tpu - l_native_f64| on the same problems, or None."""
+    try:
+        from diffqcqp_tpu.native import host_solver
+
+        if not host_solver.available():
+            return None
+        if kind == "qp":
+            P, q, l = problem
+            Pd = P if P.ndim == 3 else np.einsum(
+                "bi,ij->bij", P, np.eye(P.shape[-1])
+            )
+            res = host_solver.solve_qp_batch(Pd, q, eps=1e-10, max_iter=100000)
+        else:
+            P, q, l_n, mu, l = problem
+            res = host_solver.solve_qcqp_batch(
+                P, q, l_n, mu, eps=1e-10, max_iter=100000
+            )
+        return float(np.max(np.abs(np.asarray(l, np.float64) - res.l)))
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def config1(reps):
+    """README example: B=10 diagonal-P non-negative QPs (README.md:29-56)."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+
+    b, n = 10, 8
+    rng = np.random.default_rng(0)
+    P = (rng.random((b, n)) * 2.0 + 0.1).astype(np.float32)
+    q = rng.standard_normal((b, n)).astype(np.float32)
+    Pj, qj = jnp.asarray(P), jnp.asarray(q)
+    cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=2000)
+
+    def loss(P, q):
+        return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
+
+    @jax.jit
+    def loop(P, q):
+        def body(k, acc):
+            v, g = jax.value_and_grad(loss, argnums=(0, 1))(P, q + 1e-5 * k)
+            return acc + v + g[0][0, 0]
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    dt = _timed_loop(loop, (Pj, qj), reps)
+    l = np.array(jax.jit(lambda P, q: dq.solve_qp(P, q, config=cfg))(Pj, qj))
+    acc = _accuracy_vs_native("qp", np.float64, P, q, l)
+    return {
+        "config": 1, "desc": "B=10 N=8 diagonal-P QP fwd+bwd",
+        "problems_per_sec": round(b / dt, 1),
+        "max_abs_err_vs_native_f64": acc,
+    }
+
+
+def config2(reps):
+    """B=128, N=24 dense-P QP with warm starts."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+
+    b, n = 128, 24
+    rng = np.random.default_rng(1)
+    P = _spd(rng, b, n, np.float32)
+    q = rng.standard_normal((b, n)).astype(np.float32)
+    cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=2000)
+    Pj, qj = jnp.asarray(P), jnp.asarray(q)
+    solve = jax.jit(lambda P, q, ws: dq.solve_qp(P, q, ws, config=cfg))
+    ws = solve(Pj, qj, jnp.zeros_like(qj))  # warm start = previous solution
+
+    def loss(P, q, ws):
+        return jnp.sum(dq.solve_qp(P, q, ws, config=cfg) ** 2)
+
+    @jax.jit
+    def loop(P, q, ws):
+        def body(k, acc):
+            v, g = jax.value_and_grad(loss, argnums=(0, 1))(P, q + 1e-4 * k, ws)
+            return acc + v + g[0][0, 0, 0]
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    dt = _timed_loop(loop, (Pj, qj, ws), reps)
+    l = np.array(solve(Pj, qj, ws))
+    acc = _accuracy_vs_native("qp", np.float64, P, q, l)
+    return {
+        "config": 2, "desc": "B=128 N=24 dense QP, warm-started, fwd+bwd",
+        "problems_per_sec": round(b / dt, 1),
+        "max_abs_err_vs_native_f64": acc,
+    }
+
+
+def config3(reps):
+    """B=128 8-contact QCQPs."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+
+    b, nc = 128, 8
+    n = 2 * nc
+    rng = np.random.default_rng(2)
+    P = _spd(rng, b, n, np.float32)
+    q = (rng.standard_normal((b, n)) * 0.5).astype(np.float32)
+    l_n = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
+    mu = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
+    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-7, max_iter=1000)
+    args = tuple(map(jnp.asarray, (P, q, l_n, mu)))
+
+    def loss(P, q, l_n, mu):
+        return jnp.sum(dq.solve_qcqp(P, q, l_n, mu, config=cfg) ** 2)
+
+    @jax.jit
+    def loop(P, q, l_n, mu):
+        def body(k, acc):
+            v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                P, q + 1e-5 * k, l_n, mu
+            )
+            return acc + v + jnp.sum(g[2][0])
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    dt = _timed_loop(loop, args, reps)
+    l = np.array(jax.jit(lambda *a: dq.solve_qcqp(*a, config=cfg))(*args))
+    acc = _accuracy_vs_native("qcqp", np.float64, P, q, l_n, mu, l)
+    return {
+        "config": 3, "desc": "B=128 8-contact QCQP fwd+bwd",
+        "problems_per_sec": round(b / dt, 1),
+        "max_abs_err_vs_native_f64": acc,
+    }
+
+
+def config4(reps):
+    """B=4096 mixed QP/QCQP inside one jitted Adam system-ID step
+    (models/system_id.py is the library form of this loop)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import diffqcqp_tpu as dq
+
+    b, nc = 2048, 12           # 2048 QPs + 2048 QCQPs = 4096 solves/step
+    n = 2 * nc
+    rng = np.random.default_rng(3)
+    S = (rng.standard_normal((b, n, n)) / np.sqrt(n)).astype(np.float32)
+    params = {
+        "S": jnp.asarray(S),
+        "q": jnp.asarray((rng.standard_normal((b, n)) * 0.3).astype(np.float32)),
+        "log_l_n": jnp.zeros((b, nc), jnp.float32),
+        "logit_mu": jnp.zeros((b, nc), jnp.float32),
+    }
+    target = jnp.asarray((rng.random((b, n)) * 0.1).astype(np.float32))
+    qp_cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=400)
+    qc_cfg = dq.QCQP_DEFAULTS.replace(eps=1e-7, max_iter=400)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        P = jnp.einsum("bik,bjk->bij", p["S"], p["S"]) + 0.1 * jnp.eye(
+            n, dtype=jnp.float32
+        )
+        l_qp = dq.solve_qp(P, p["q"], config=qp_cfg)
+        l_qc = dq.solve_qcqp(
+            P, p["q"], jnp.exp(p["log_l_n"]), jax.nn.sigmoid(p["logit_mu"]),
+            config=qc_cfg,
+        )
+        return jnp.mean((l_qp - target) ** 2) + jnp.mean((l_qc - target) ** 2)
+
+    @jax.jit
+    def steps(params, opt_state):
+        def body(k, carry):
+            p, s, acc = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s)
+            p = optax.apply_updates(p, updates)
+            return (p, s, acc + loss)
+        p, s, acc = jax.lax.fori_loop(0, reps, body, (params, opt_state, 0.0))
+        return acc
+
+    dt = _timed_loop(steps, (params, opt_state), reps)
+    return {
+        "config": 4,
+        "desc": "B=4096 mixed QP/QCQP Adam system-ID step (fwd+bwd+update)",
+        "solves_per_sec": round(2 * b / dt, 1),
+        "steps_per_sec": round(1.0 / dt, 2),
+    }
+
+
+def config5(reps):
+    """B=65536 QCQPs sharded over all local devices (BASELINE config 5).
+    On the single-chip environment this exercises the identical shard_map +
+    pmin-convergence code path on a 1-device mesh; multi-host scaling uses
+    the same function over a larger mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+    from diffqcqp_tpu.parallel.sharding import make_batch_mesh, shard_batch
+
+    n_dev = len(jax.devices())
+    b, nc = 65536, 4
+    n = 2 * nc
+    b = (b // n_dev) * n_dev
+    rng = np.random.default_rng(4)
+    P = _spd(rng, b, n, np.float32)
+    q = (rng.standard_normal((b, n)) * 0.5).astype(np.float32)
+    l_n = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
+    mu = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
+    mesh = make_batch_mesh()
+    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-7, max_iter=400)
+    args = tuple(
+        shard_batch(jnp.asarray(x), mesh) for x in (P, q, l_n, mu)
+    )
+
+    from diffqcqp_tpu.parallel.sharding import solve_qcqp_sharded
+
+    @jax.jit
+    def loop(P, q, l_n, mu):
+        def body(k, acc):
+            l, stats = solve_qcqp_sharded(
+                P, q + 1e-5 * k, l_n, mu, mesh=mesh, config=cfg
+            )
+            return acc + jnp.sum(l) + jnp.sum(stats.iterations)
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    dt = _timed_loop(loop, args, reps)
+    return {
+        "config": 5,
+        "desc": f"B={b} QCQP forward, batch-sharded over {n_dev} device(s)",
+        "problems_per_sec": round(b / dt, 1),
+        "devices": n_dev,
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="all")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+    which = (
+        sorted(CONFIGS) if args.config == "all" else [int(args.config)]
+    )
+    import jax
+
+    for c in which:
+        out = CONFIGS[c](args.reps)
+        out["backend"] = jax.default_backend()
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,14 @@ class SolverConfig:
         XLA engine (solvers/admm.py).
       pallas_tile_b: problems per kernel instance (lane-tile width) for the
         pallas backend.
+      stall_tol: machine-precision stall test, in ulps: a problem also counts
+        as converged when ``||l2 - l2_prev||_inf <= stall_tol * eps_machine *
+        max(1, ||l2||_inf)`` - the iterate has reached the fixed-point noise
+        floor of the working dtype and cannot certify a tighter eps. Without
+        this, float32 problems asked for eps below ~1e-6 spin to max_iter
+        (and, because convergence is tile-synchronous on TPU, drag every
+        problem in their tile with them). Inert in float64 at reference
+        tolerances (8 ulps ~ 2e-15). 0 disables.
     """
 
     eps: float = 1e-10
@@ -82,6 +90,7 @@ class SolverConfig:
     axis_name: Optional[str] = None
     backend: str = "auto"
     pallas_tile_b: int = 256
+    stall_tol: float = 8.0
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -5,8 +5,9 @@ compacted matrices whose size depends on how many constraints are active:
 Solver.cpp:136-196 QP, :263-371 box, :441-502 signed box, :584-681 QCQP). That
 is unjittable. Here every system is FIXED-SHAPE: all constraint slots are
 kept, inactive slots become decoupled identity rows/columns (solving exactly
-to zero), and the transposed differentiated-KKT system is solved DIRECTLY
-with a batched LU (jnp.linalg.solve) - the same answers as the reference's
+to zero), and the transposed differentiated-KKT system is solved DIRECTLY -
+batched LU (jnp.linalg.solve) on CPU/f64, the fused Householder-QR pallas
+kernel on TPU/f32 (see _solve_T) - the same answers as the reference's
 compacted systems on non-degenerate problems.
 
 Why LU and not the reference's regularised normal equations
@@ -47,16 +48,33 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
 from ..config import SolverConfig
-from ..ops.linalg import refine_solve
 
 
-def _lu_solve_T(S: Array, rhs: Array) -> Array:
-    """Solve S^T x = rhs with a batched LU; S (B, m, m), rhs (B, m)."""
-    return jnp.linalg.solve(jnp.swapaxes(S, -1, -2), rhs[..., None])[..., 0]
+def _solve_T(S: Array, rhs: Array, cfg: SolverConfig) -> Array:
+    """Solve S^T x = rhs batched; S (B, m, m), rhs (B, m).
+
+    Dispatch mirrors api._use_pallas: on TPU in float32 the solve runs in the
+    fused Householder-QR pallas kernel (kernels/qr_solve_pallas.py - XLA's
+    pivoted batched LU dominates the whole backward otherwise); elsewhere (or
+    with cfg.backend='xla') it is a batched LU.
+    """
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto"
+        and rhs.dtype == jnp.float32
+        and S.shape[-1] <= 128
+        and jax.default_backend() == "tpu"
+    )
+    ST = jnp.swapaxes(S, -1, -2)
+    if use_pallas:
+        from ..kernels.qr_solve_pallas import qr_solve_pallas
+
+        return qr_solve_pallas(ST, rhs)
+    return jnp.linalg.solve(ST, rhs[..., None])[..., 0]
 
 
 def _as_dense(P: Array) -> Array:
@@ -69,7 +87,10 @@ def _as_dense(P: Array) -> Array:
 def _pl_plus_q(P: Array, l: Array, q: Array) -> Array:
     if P.ndim == 2:
         return P * l + q
-    return jnp.einsum("bij,bj->bi", P, l) + q
+    # multiply+reduce rather than einsum: a batched (N,N)@(N,1) dot_general
+    # pads the 1-wide operand to a full MXU tile on TPU; the elementwise form
+    # stays on the VPU.
+    return jnp.sum(P * l[:, None, :], axis=-1) + q
 
 
 # --------------------------------------------------------------------------
@@ -105,7 +126,7 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     K = Pd * fm[:, :, None] * fm[:, None, :] + jnp.eye(n, dtype=l.dtype) * (
         am
     )[:, None, :]
-    x = _lu_solve_T(K, g * fm)
+    x = _solve_T(K, g * fm, cfg)
     return x * fm
 
 
@@ -141,16 +162,28 @@ def _box_selector(act_lo: Array, act_hi: Array, dtype) -> Array:
 def box_dual(
     P: Array, q: Array, l_min: Array, l_max: Array, l: Array, cfg: SolverConfig
 ) -> BoxDuals:
-    """Least-squares dual recovery J gamma = -(Pl+q) (Solver.cpp:263-308),
-    solved with the same regularised refinement as the reference."""
+    """Least-squares dual recovery J gamma = -(Pl+q) (Solver.cpp:263-308).
+
+    The reference solves this with its regularised-normal-equations
+    refinement (Solver.cpp:306 via :15-44). That is unnecessary: row i of
+    the selector J touches only columns (i, n+i) and rows touch DISJOINT
+    columns, so J J^T is diagonal and the minimal-norm least-squares
+    solution (the refinement's fixed point) is closed form, elementwise:
+    gamma_block = J_row^T rhs_i / (#active entries in the row). No batched
+    factorisation anywhere.
+    """
     act_lo, act_hi = _box_activity(l, l_min, l_max, cfg.eps)
-    J = _box_selector(act_lo, act_hi, l.dtype)
     rhs = -_pl_plus_q(P, l, q)
-    # Solve J gamma ~= rhs in the least-squares sense over active slots
-    # (refine_solve handles rectangular J (B, n, 2n) -> gamma (B, 2n)).
-    gamma = refine_solve(J, rhs, cfg.mu_ir, cfg.ir_iters)
-    mask = jnp.concatenate([act_lo, act_hi], axis=-1).astype(l.dtype)
-    return BoxDuals(gamma=gamma * mask, act_lo=act_lo, act_hi=act_hi)
+    alo = act_lo.astype(l.dtype)
+    ahi = act_hi.astype(l.dtype)
+    denom = jnp.maximum(alo + ahi, 1.0)
+    g_lo = -alo * rhs / denom
+    g_hi = ahi * rhs / denom
+    return BoxDuals(
+        gamma=jnp.concatenate([g_lo, g_hi], axis=-1),
+        act_lo=act_lo,
+        act_hi=act_hi,
+    )
 
 
 class BoxVJP(NamedTuple):
@@ -195,7 +228,7 @@ def box_vjp(
     bot = jnp.concatenate([J, Pd], axis=-1)
     S = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((Bsz, 2 * n), l.dtype), g], axis=-1)
-    x = _lu_solve_T(S, rhs)
+    x = _solve_T(S, rhs, cfg)
     return BoxVJP(dl=x[:, 2 * n :], dgamma=x[:, : 2 * n] * am, gamma=duals.gamma)
 
 
@@ -238,11 +271,19 @@ def signed_box_dual(
     v_sign = jnp.sign(v)
     act_lo, act_hi = _box_activity(l, l_min, l_max, cfg.eps)
     act_sg = v_sign * l >= -cfg.eps
-    J = _signed_selector(act_lo, act_hi, act_sg, v_sign)
     rhs = -_pl_plus_q(P, l, q)
-    gamma = refine_solve(J, rhs, cfg.mu_ir, cfg.ir_iters)
-    mask = jnp.concatenate([act_lo, act_hi, act_sg], axis=-1).astype(l.dtype)
-    return SignedBoxDuals(gamma * mask, act_lo, act_hi, act_sg)
+    # Same disjoint-row structure as box_dual: J row i touches columns
+    # (i, n+i, 2n+i) with entries (-1, +1, v_i), v_i in {-1, 0, +1}, so the
+    # minimal-norm least-squares dual is closed form per coordinate.
+    alo = act_lo.astype(l.dtype)
+    ahi = act_hi.astype(l.dtype)
+    asg = act_sg.astype(l.dtype)
+    denom = jnp.maximum(alo + ahi + asg * v_sign * v_sign, 1.0)
+    g_lo = -alo * rhs / denom
+    g_hi = ahi * rhs / denom
+    g_sg = asg * v_sign * rhs / denom
+    gamma = jnp.concatenate([g_lo, g_hi, g_sg], axis=-1)
+    return SignedBoxDuals(gamma, act_lo, act_hi, act_sg)
 
 
 class SignedBoxVJP(NamedTuple):
@@ -284,7 +325,7 @@ def signed_box_vjp(
     bot = jnp.concatenate([J, Pd], axis=-1)
     S = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((Bsz, 3 * n), l.dtype), g], axis=-1)
-    x = _lu_solve_T(S, rhs)
+    x = _solve_T(S, rhs, cfg)
     return SignedBoxVJP(dl=x[:, 3 * n :], dgamma=x[:, : 3 * n] * am, gamma=duals.gamma)
 
 
@@ -370,7 +411,7 @@ def qcqp_vjp(
     bot = jnp.concatenate([C, D], axis=-1)
     S = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((B_, nc), l.dtype), g], axis=-1)
-    x = _lu_solve_T(S, rhs)
+    x = _solve_T(S, rhs, cfg)
     return QCQPVJP(dl=x[:, nc:], dgamma=x[:, :nc] * am, gamma=duals.gamma)
 
 

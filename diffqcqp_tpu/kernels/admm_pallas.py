@@ -197,14 +197,23 @@ def _admm_chol_kernel(
         r = alpha * l + (f32(1.0) - alpha) * l2
         l2_n = prox(r + u / rho)
         u_n = u + rho * (r - l2_n)
-        rd = rho * jnp.max(jnp.abs(l2_n - l2), axis=0, keepdims=True)
+        delta = jnp.max(jnp.abs(l2_n - l2), axis=0, keepdims=True)
+        rd = rho * delta
         rp = jnp.max(jnp.abs(l2_n - r), axis=0, keepdims=True)
 
+        dual_ok = rd < eps
+        if cfg.stall_tol > 0.0:
+            # machine-precision stall (SolverConfig.stall_tol): without this,
+            # f32 problems asked for eps below ~1e-6 spin to max_iter and -
+            # convergence being tile-synchronous - drag their whole tile.
+            floor = f32(cfg.stall_tol * 1.1920929e-7)
+            l2inf = jnp.max(jnp.abs(l2_n), axis=0, keepdims=True)
+            dual_ok = dual_ok | (delta <= floor * jnp.maximum(l2inf, f32(1.0)))
         if qcqp_stopping:
             lnorm = jnp.sqrt(jnp.sum(l * l, axis=0, keepdims=True))
-            newly = ((rp < eps + eps_rel * lnorm) & (rd < eps)).astype(f32)
+            newly = ((rp < eps + eps_rel * lnorm) & dual_ok).astype(f32)
         else:
-            newly = (rd < eps).astype(f32)
+            newly = dual_ok.astype(f32)
 
         adapt = active * (1.0 - newly)
         if cfg.adaptive_rho:

@@ -1,12 +1,13 @@
 """Multi-chip / multi-host batch sharding.
 
-The batch of QP/QCQP problems is embarrassingly parallel; the ONLY collective
-the algorithm needs is agreement on the stopping iteration of the fixed-point
-loop (SURVEY.md section 2.3). We shard the problem batch over a 1-D device
-mesh with ``shard_map``; inside each shard the solver runs the normal batched
-engine with ``cfg.axis_name`` set, which makes the while-loop's done-flag a
-``lax.pmin`` across the mesh so every shard executes the same number of loop
-steps (no shard can exit early and deadlock the collective).
+The batch of QP/QCQP problems is embarrassingly parallel (SURVEY.md section
+2.3): we shard it over a 1-D device mesh with ``shard_map`` and, by default,
+run ZERO collectives - each shard's solver loop terminates on its own, which
+also keeps the fused pallas fast path per shard. An optional ``lockstep``
+mode threads ``cfg.axis_name`` through instead, making the while-loop's
+done-flag a ``lax.pmin`` across the mesh so every shard executes the same
+number of loop steps (globally synchronous iterations - the one collective
+this algorithm can ever need).
 
 This replaces the reference's "parallelism" - a sequential Python loop over
 the batch crossing the Python<->C++ boundary per item (qcqp.py:29-31).
@@ -38,9 +39,23 @@ def _specs(mesh: Mesh, axis: str, n_args: int):
     return tuple(P(axis) for _ in range(n_args))
 
 
-def _sharded(solve_with_stats, n_in: int, mesh: Mesh, axis: str, cfg: SolverConfig):
-    """Wrap a *_with_stats solver into a shard_map over the batch axis."""
-    cfg = cfg.replace(axis_name=axis)
+def _sharded(
+    solve_with_stats, n_in: int, mesh: Mesh, axis: str, cfg: SolverConfig,
+    lockstep: bool = False,
+):
+    """Wrap a *_with_stats solver into a shard_map over the batch axis.
+
+    By default each shard terminates its own solve loop independently - the
+    batch is embarrassingly parallel and the solver body contains no other
+    collective, so nothing requires the shards to agree on an iteration
+    count, and each shard keeps the fused pallas fast path. ``lockstep=True``
+    instead threads ``cfg.axis_name`` through, making the while-loop
+    condition a ``lax.pmin`` across the mesh (globally synchronous
+    iterations; forces the XLA engine) - useful when iteration counts must
+    match across shards, e.g. for deterministic multi-host profiling.
+    """
+    if lockstep:
+        cfg = cfg.replace(axis_name=axis)
 
     def local(*args):
         return solve_with_stats(*args, config=cfg)
@@ -62,6 +77,7 @@ def solve_qp_sharded(
     mesh: Optional[Mesh] = None,
     config: Optional[SolverConfig] = None,
     axis_name: str = BATCH_AXIS,
+    lockstep: bool = False,
 ):
     """Batch-sharded non-negative QP solve. The leading batch dimension must
     be divisible by the mesh size. Returns (l, SolveStats)."""
@@ -70,28 +86,28 @@ def solve_qp_sharded(
     import jax.numpy as jnp
 
     ws = jnp.zeros_like(q) if warm_start is None else warm_start
-    fn = _sharded(api.solve_qp_with_stats, 3, mesh, axis_name, cfg)
+    fn = _sharded(api.solve_qp_with_stats, 3, mesh, axis_name, cfg, lockstep)
     return fn(P_mat, q, ws)
 
 
 def solve_box_qp_sharded(
     P_mat, q, l_min, l_max, warm_start=None, *,
     mesh: Optional[Mesh] = None, config: Optional[SolverConfig] = None,
-    axis_name: str = BATCH_AXIS,
+    axis_name: str = BATCH_AXIS, lockstep: bool = False,
 ):
     mesh = mesh if mesh is not None else make_batch_mesh(axis_name=axis_name)
     cfg = config if config is not None else api.SolverConfig()
     import jax.numpy as jnp
 
     ws = jnp.zeros_like(q) if warm_start is None else warm_start
-    fn = _sharded(api.solve_box_qp_with_stats, 5, mesh, axis_name, cfg)
+    fn = _sharded(api.solve_box_qp_with_stats, 5, mesh, axis_name, cfg, lockstep)
     return fn(P_mat, q, l_min, l_max, ws)
 
 
 def solve_qcqp_sharded(
     P_mat, q, l_n, mu, warm_start=None, *,
     mesh: Optional[Mesh] = None, config: Optional[SolverConfig] = None,
-    axis_name: str = BATCH_AXIS,
+    axis_name: str = BATCH_AXIS, lockstep: bool = False,
 ):
     """Batch-sharded friction-cone QCQP solve (BASELINE.json config 5)."""
     mesh = mesh if mesh is not None else make_batch_mesh(axis_name=axis_name)
@@ -99,7 +115,7 @@ def solve_qcqp_sharded(
     import jax.numpy as jnp
 
     ws = jnp.zeros_like(q) if warm_start is None else warm_start
-    fn = _sharded(api.solve_qcqp_with_stats, 5, mesh, axis_name, cfg)
+    fn = _sharded(api.solve_qcqp_with_stats, 5, mesh, axis_name, cfg, lockstep)
     return fn(P_mat, q, l_n, mu, ws)
 
 

@@ -163,15 +163,22 @@ def admm_solve(
         r = alpha * l + (1.0 - alpha) * s.l2
         l2 = prox(r + s.u / rho_c)
         u = s.u + rho_c * (r - l2)
-        res_dual = s.rho * linf_norm(l2 - s.l2)
+        delta = linf_norm(l2 - s.l2)
+        res_dual = s.rho * delta
         res_prim = linf_norm(l2 - r)
 
+        dual_ok = res_dual < eps
+        if cfg.stall_tol > 0.0:
+            # machine-precision stall: the iterate cannot move below the
+            # working dtype's fixed-point noise floor (see SolverConfig).
+            floor = cfg.stall_tol * jnp.finfo(dtype).eps
+            dual_ok = dual_ok | (delta <= floor * jnp.maximum(1.0, linf_norm(l2)))
         if qcqp_stopping:
             newly = (res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)) & (
-                res_dual < eps
+                dual_ok
             )
         else:
-            newly = res_dual < eps
+            newly = dual_ok
 
         # --- adaptive rho (Solver.cpp:91-120), only for problems that are
         # still active and did not just converge (the reference breaks before
