@@ -71,6 +71,14 @@ class SolverConfig:
         (and, because convergence is tile-synchronous on TPU, drag every
         problem in their tile with them). Inert in float64 at reference
         tolerances (8 ulps ~ 2e-15). 0 disables.
+      rho_sync: when True (default), fired rho updates apply only on global
+        iterations ``it % rho_update_period == 0``, so every problem's
+        refactorisation lands on the same iteration. The reference instead
+        throttles per problem by trigger count (``cpt % 5``, Solver.cpp:93),
+        which staggers updates across a batch - on TPU that makes the fused
+        kernel's (tile-wide) Cholesky refactor fire nearly every iteration.
+        Same fixed point either way (the schedule shapes the trajectory, not
+        the limit); set False for the reference's exact per-problem schedule.
     """
 
     eps: float = 1e-10
@@ -91,6 +99,7 @@ class SolverConfig:
     backend: str = "auto"
     pallas_tile_b: int = 256
     stall_tol: float = 8.0
+    rho_sync: bool = True
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -220,10 +220,17 @@ def _admm_chol_kernel(
             inc = adapt * (rp > mu_thresh * rd).astype(f32)
             dec = adapt * (1.0 - inc) * (rd > mu_thresh * rp).astype(f32)
             fire = inc + dec
-            period_ok = (
-                cpt - jnp.floor(cpt / cfg.rho_update_period) * cfg.rho_update_period
-            ) < 0.5
-            apply = fire * period_ok.astype(f32)
+            if cfg.rho_sync:
+                # batch-synchronous throttle (cfg.rho_sync): refactorisations
+                # land on shared iterations instead of firing tile-wide nearly
+                # every step from per-lane staggering.
+                period_ok = ((it % cfg.rho_update_period) == 0).astype(f32)
+                apply = fire * period_ok
+            else:
+                period_ok = (
+                    cpt - jnp.floor(cpt / cfg.rho_update_period) * cfg.rho_update_period
+                ) < 0.5
+                apply = fire * period_ok.astype(f32)
             app_inc = apply * inc
             app_dec = apply * dec
             flip_inc = app_inc * (rho_up < -0.5).astype(f32)

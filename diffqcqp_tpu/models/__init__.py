@@ -1,3 +1,10 @@
+from .contact_sim import (
+    ContactParams,
+    ContactState,
+    make_system_id_step,
+    simulate,
+    trajectory_loss,
+)
 from .system_id import (
     QCQPSystemIDParams,
     QPSystemIDParams,

@@ -188,7 +188,12 @@ def admm_solve(
             inc = adapt & (res_prim > cfg.mu_thresh * res_dual)
             dec = adapt & ~inc & (res_dual > cfg.mu_thresh * res_prim)
             fire = inc | dec
-            apply = fire & (s.cpt % cfg.rho_update_period == 0)
+            if cfg.rho_sync:
+                # batch-synchronous throttle (cfg.rho_sync): same limit point,
+                # and on TPU all refactorisations share an iteration.
+                apply = fire & (s.it % cfg.rho_update_period == 0)
+            else:
+                apply = fire & (s.cpt % cfg.rho_update_period == 0)
             app_inc = apply & inc
             app_dec = apply & dec
             flip_inc = app_inc & (s.rho_up == -1)

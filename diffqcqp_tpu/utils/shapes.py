@@ -47,7 +47,19 @@ def _flatten_vec(x: Array, name: str) -> tuple[Array, bool, bool]:
 def canon_problem(P: Array, q: Array) -> Canon:
     P = jnp.asarray(P)
     q = jnp.asarray(q)
-    qf, batched, column = _flatten_vec(q, "q")
+    # (B, 1) q is ambiguous with an unbatched (N, 1) column; when P has the
+    # matching (B, 1) diagonal shape the batched N=1 reading is the only
+    # consistent one (an unbatched N=B problem would need P (B,) or (B, B)).
+    if (
+        q.ndim == 2
+        and q.shape[-1] == 1
+        and P.ndim == 2
+        and P.shape == q.shape
+        and q.shape[0] > 1
+    ):
+        qf, batched, column = q, True, False
+    else:
+        qf, batched, column = _flatten_vec(q, "q")
     n = qf.shape[-1]
 
     if P.ndim == 1:                        # (N,) diagonal, unbatched
@@ -96,15 +108,28 @@ def canon_problem(P: Array, q: Array) -> Canon:
     return Canon(P=Pf, q=qf, batched=batched, column=column, restore=restore)
 
 
-def canon_like(x: Array, canon: Canon, name: str) -> Array:
+def canon_like(x: Array, canon: Canon, name: str, width: int | None = None) -> Array:
     """Canonicalise an auxiliary vector (warm_start, l_min, l_n, ...) to
-    (B, M) using the same batch convention as the main problem."""
+    (B, M) using the same batch convention as the main problem.
+
+    ``width`` is the expected per-problem length (n, or nc for the QCQP's
+    l_n/mu); when given it disambiguates the (B, 1)-batched vs (N, 1)-column
+    reading for width-1 vectors (single-contact problems).
+    """
     x = jnp.asarray(x)
-    xf, batched, _ = _flatten_vec(x, name)
-    if not batched and canon.batched:
-        xf = jnp.broadcast_to(xf, (canon.q.shape[0],) + xf.shape[1:])
-    elif batched and not canon.batched and xf.shape[0] != 1:
-        raise ValueError(f"{name} is batched but the problem is not")
+    if (
+        width is not None
+        and canon.batched
+        and x.ndim == 2
+        and x.shape == (canon.q.shape[0], width)
+    ):
+        xf = x
+    else:
+        xf, batched, _ = _flatten_vec(x, name)
+        if batched and not canon.batched and xf.shape[0] != 1:
+            raise ValueError(f"{name} is batched but the problem is not")
+        if not batched and canon.batched:
+            xf = jnp.broadcast_to(xf, (canon.q.shape[0],) + xf.shape[1:])
     if xf.shape[0] != canon.q.shape[0]:
         if xf.shape[0] == 1:
             xf = jnp.broadcast_to(xf, (canon.q.shape[0],) + xf.shape[1:])
