@@ -55,26 +55,29 @@ from jax import Array
 from ..config import SolverConfig
 
 
-def _solve_T(S: Array, rhs: Array, cfg: SolverConfig) -> Array:
-    """Solve S^T x = rhs batched; S (B, m, m), rhs (B, m).
+def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
+    """Solve A x = rhs batched; A (B, m, m), rhs (B, m).
 
-    Dispatch mirrors api._use_pallas: on TPU in float32 the solve runs in the
-    fused Householder-QR pallas kernel (kernels/qr_solve_pallas.py - XLA's
-    pivoted batched LU dominates the whole backward otherwise); elsewhere (or
-    with cfg.backend='xla') it is a batched LU.
+    Callers assemble the TRANSPOSED differentiated-KKT system directly (the
+    blocks are masked broadcasts either way, and a batched trailing-dims
+    transpose of (B, m, m) costs ~1.5 ms at the flagship shape on TPU -
+    comparable to the whole solve). Dispatch mirrors api._use_pallas: on TPU
+    in float32 the solve runs in the fused Householder-QR pallas kernel
+    (kernels/qr_solve_pallas.py - XLA's pivoted batched LU dominates the
+    whole backward otherwise); elsewhere (or with cfg.backend='xla') it is a
+    batched LU.
     """
     use_pallas = cfg.backend == "pallas" or (
         cfg.backend == "auto"
         and rhs.dtype == jnp.float32
-        and S.shape[-1] <= 128
+        and A.shape[-1] <= 128
         and jax.default_backend() == "tpu"
     )
-    ST = jnp.swapaxes(S, -1, -2)
     if use_pallas:
         from ..kernels.qr_solve_pallas import qr_solve_pallas
 
-        return qr_solve_pallas(ST, rhs)
-    return jnp.linalg.solve(ST, rhs[..., None])[..., 0]
+        return qr_solve_pallas(A, rhs)
+    return jnp.linalg.solve(A, rhs[..., None])[..., 0]
 
 
 def _as_dense(P: Array) -> Array:
@@ -126,7 +129,8 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     K = Pd * fm[:, :, None] * fm[:, None, :] + jnp.eye(n, dtype=l.dtype) * (
         am
     )[:, None, :]
-    x = _solve_T(K, g * fm, cfg)
+    # K is symmetric (masked symmetric P + diagonal): K^T = K.
+    x = _solve_direct(K, g * fm, cfg)
     return x * fm
 
 
@@ -157,6 +161,15 @@ def _box_selector(act_lo: Array, act_hi: Array, dtype) -> Array:
     lo = -eye * act_lo.astype(dtype)[:, None, :]
     hi = eye * act_hi.astype(dtype)[:, None, :]
     return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _box_selector_T(act_lo: Array, act_hi: Array, dtype) -> Array:
+    """J^T (B, 2n, n), assembled directly (masks move to the row side)."""
+    n = act_lo.shape[-1]
+    eye = jnp.eye(n, dtype=dtype)
+    lo = -eye * act_lo.astype(dtype)[:, :, None]
+    hi = eye * act_hi.astype(dtype)[:, :, None]
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def box_dual(
@@ -217,18 +230,19 @@ def box_vjp(
     act_prim = jnp.concatenate([duals.act_lo, duals.act_hi], axis=-1)
     act = act_prim & (duals.gamma > cfg.act_eps)
     am = act.astype(l.dtype)
-    J = _box_selector(
-        act[:, :n], act[:, n:], l.dtype
-    )
-    Bmat = (duals.gamma * am)[:, :, None] * jnp.swapaxes(J, -1, -2)
+    # S^T = [[I_inact, J^T], [B^T, P]] assembled directly (no batched
+    # trailing-dims transpose); B = diag(gamma) J^T so B^T = J diag(gamma).
+    J = _box_selector(act[:, :n], act[:, n:], l.dtype)
+    Jt = _box_selector_T(act[:, :n], act[:, n:], l.dtype)
+    Bt = J * (duals.gamma * am)[:, None, :]
     Pd = _as_dense(P)
     Bsz = l.shape[0]
     eye_inact = jnp.eye(2 * n, dtype=l.dtype) * (1.0 - am)[:, None, :]
-    top = jnp.concatenate([eye_inact, Bmat], axis=-1)
-    bot = jnp.concatenate([J, Pd], axis=-1)
-    S = jnp.concatenate([top, bot], axis=-2)
+    top = jnp.concatenate([eye_inact, Jt], axis=-1)
+    bot = jnp.concatenate([Bt, Pd], axis=-1)
+    ST = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((Bsz, 2 * n), l.dtype), g], axis=-1)
-    x = _solve_T(S, rhs, cfg)
+    x = _solve_direct(ST, rhs, cfg)
     return BoxVJP(dl=x[:, 2 * n :], dgamma=x[:, : 2 * n] * am, gamma=duals.gamma)
 
 
@@ -255,6 +269,19 @@ def _signed_selector(
     hi = eye * act_hi.astype(dtype)[:, None, :]
     sg = eye * (act_sg.astype(dtype) * v_sign)[:, None, :]
     return jnp.concatenate([lo, hi, sg], axis=-1)
+
+
+def _signed_selector_T(
+    act_lo: Array, act_hi: Array, act_sg: Array, v_sign: Array
+) -> Array:
+    """J^T (B, 3n, n), assembled directly (masks move to the row side)."""
+    dtype = v_sign.dtype
+    n = act_lo.shape[-1]
+    eye = jnp.eye(n, dtype=dtype)
+    lo = -eye * act_lo.astype(dtype)[:, :, None]
+    hi = eye * act_hi.astype(dtype)[:, :, None]
+    sg = eye * (act_sg.astype(dtype) * v_sign)[:, :, None]
+    return jnp.concatenate([lo, hi, sg], axis=-2)
 
 
 def signed_box_dual(
@@ -316,16 +343,18 @@ def signed_box_vjp(
     )
     act = act_prim & (duals.gamma > cfg.act_eps)
     am = act.astype(l.dtype)
+    # S^T assembled directly, as in box_vjp.
     J = _signed_selector(act[:, :n], act[:, n : 2 * n], act[:, 2 * n :], v_sign)
-    Bmat = (duals.gamma * am)[:, :, None] * jnp.swapaxes(J, -1, -2)
+    Jt = _signed_selector_T(act[:, :n], act[:, n : 2 * n], act[:, 2 * n :], v_sign)
+    Bt = J * (duals.gamma * am)[:, None, :]
     Pd = _as_dense(P)
     Bsz = l.shape[0]
     eye_inact = jnp.eye(3 * n, dtype=l.dtype) * (1.0 - am)[:, None, :]
-    top = jnp.concatenate([eye_inact, Bmat], axis=-1)
-    bot = jnp.concatenate([J, Pd], axis=-1)
-    S = jnp.concatenate([top, bot], axis=-2)
+    top = jnp.concatenate([eye_inact, Jt], axis=-1)
+    bot = jnp.concatenate([Bt, Pd], axis=-1)
+    ST = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((Bsz, 3 * n), l.dtype), g], axis=-1)
-    x = _solve_T(S, rhs, cfg)
+    x = _solve_direct(ST, rhs, cfg)
     return SignedBoxVJP(dl=x[:, 3 * n :], dgamma=x[:, : 3 * n] * am, gamma=duals.gamma)
 
 
@@ -396,22 +425,25 @@ def qcqp_vjp(
     )
     am = active.astype(l.dtype)
 
-    # C (B, n, nc): column i = 2 l_(i) in rows (2i, 2i+1), masked by activity.
+    # Assemble S^T = [[diag(s), C^T], [B^T, D]] DIRECTLY (each block is a
+    # masked broadcast; D is symmetric), avoiding a batched trailing-dims
+    # transpose. S's blocks: C (n, nc) column i = 2 l_(i) in rows (2i, 2i+1),
+    # B = diag(gamma) C^T, D = P + blockdiag(2 gamma_i I_2), masked by am.
     contact_of = jnp.arange(n) // 2                     # (n,)
-    col_sel = (contact_of[:, None] == jnp.arange(nc)[None, :]).astype(l.dtype)
-    C = 2.0 * l[:, :, None] * col_sel * am[:, None, :]
-    Bmat = (duals.gamma * am)[:, :, None] * jnp.swapaxes(C, -1, -2)  # (B, nc, n)
+    sel_T = (jnp.arange(nc)[:, None] == contact_of[None, :]).astype(l.dtype)
+    Ct = 2.0 * l[:, None, :] * sel_T * am[:, :, None]                 # (B, nc, n)
+    Bt = 2.0 * l[:, :, None] * sel_T.T * (duals.gamma * am)[:, None, :]  # (B, n, nc)
     gamma_per_coord = jnp.repeat(duals.gamma, 2, axis=-1)     # (B, n)
     D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(n, dtype=l.dtype)
 
     top = jnp.concatenate(
-        [jnp.eye(nc, dtype=l.dtype) * (s * am + (1.0 - am))[:, :, None], Bmat],
+        [jnp.eye(nc, dtype=l.dtype) * (s * am + (1.0 - am))[:, :, None], Ct],
         axis=-1,
     )
-    bot = jnp.concatenate([C, D], axis=-1)
-    S = jnp.concatenate([top, bot], axis=-2)
+    bot = jnp.concatenate([Bt, D], axis=-1)
+    ST = jnp.concatenate([top, bot], axis=-2)
     rhs = jnp.concatenate([jnp.zeros((B_, nc), l.dtype), g], axis=-1)
-    x = _solve_T(S, rhs, cfg)
+    x = _solve_direct(ST, rhs, cfg)
     return QCQPVJP(dl=x[:, nc:], dgamma=x[:, :nc] * am, gamma=duals.gamma)
 
 

@@ -1,3 +1,8 @@
+from .multihost import (
+    global_batch_mesh,
+    initialize_distributed,
+    shard_host_local_batch,
+)
 from .sharding import (
     BATCH_AXIS,
     make_batch_mesh,
