@@ -158,11 +158,15 @@ def admm_solve(
         active = ~s.converged
         rho_c = s.rho[:, None]
 
-        l = solve_shifted(fact, rho_c * s.l2 - s.u - s.q_prox, s.rho + mu_prox)
-        q_prox = q - mu_prox * l
-        r = alpha * l + (1.0 - alpha) * s.l2
-        l2 = prox(r + s.u / rho_c)
-        u = s.u + rho_c * (r - l2)
+        # named scopes annotate the HLO so jax.profiler traces attribute time
+        # to solver phases (the tracing layer the reference lacks, SURVEY 5).
+        with jax.named_scope("admm_linear_solve"):
+            l = solve_shifted(fact, rho_c * s.l2 - s.u - s.q_prox, s.rho + mu_prox)
+        with jax.named_scope("admm_prox_dual"):
+            q_prox = q - mu_prox * l
+            r = alpha * l + (1.0 - alpha) * s.l2
+            l2 = prox(r + s.u / rho_c)
+            u = s.u + rho_c * (r - l2)
         delta = linf_norm(l2 - s.l2)
         res_dual = s.rho * delta
         res_prim = linf_norm(l2 - r)
