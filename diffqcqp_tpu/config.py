@@ -79,6 +79,12 @@ class SolverConfig:
         kernel's (tile-wide) Cholesky refactor fire nearly every iteration.
         Same fixed point either way (the schedule shapes the trajectory, not
         the limit); set False for the reference's exact per-problem schedule.
+      rho0_scale: multiplier on the reference's initial-penalty formula
+        rho0 = sqrt(mu_prox L) (L/mu_prox)^0.4 (Solver.cpp:72). 1.0 (default)
+        reproduces the reference; on the benchmark QCQP distribution ~3.0
+        cuts mean iterations ~30% with identical solutions (the adaptive
+        schedule converges to the same fixed point). A tuning knob, not a
+        semantic change.
     """
 
     eps: float = 1e-10
@@ -100,6 +106,7 @@ class SolverConfig:
     pallas_tile_b: int = 256
     stall_tol: float = 8.0
     rho_sync: bool = True
+    rho0_scale: float = 1.0
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

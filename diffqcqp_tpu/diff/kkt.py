@@ -389,6 +389,29 @@ def qcqp_dual(P: Array, q: Array, radius: Array, l: Array, cfg: SolverConfig) ->
     return QCQPDuals(gamma=gamma, active=active)
 
 
+def qcqp_strict_active(
+    l: Array, radius: Array, gamma: Array, cfg: SolverConfig
+) -> tuple[Array, Array]:
+    """Squared slacks s and the strict-complementarity mask gating contacts
+    into the differentiated-KKT system (Solver.cpp:639 + gamma > 0).
+
+    The s-threshold must sit above the working dtype's noise floor of s
+    (~eps_mach * (||l||^2 + r^2)); the reference's fixed 1e-10 is below
+    float32 noise, so binding contacts would be randomly classified inactive
+    and silently lose their gradient. Inert in float64 (8 ulps ~ 1e-15 *
+    scale < act_eps)."""
+    B_, n = l.shape
+    nc = radius.shape[-1]
+    pts = l.reshape(B_, nc, 2)
+    sq = jnp.sum(pts * pts, axis=-1)
+    s = sq - radius * radius
+    s_tol = jnp.maximum(
+        cfg.act_eps, 8.0 * jnp.finfo(l.dtype).eps * (sq + radius * radius)
+    )
+    active = (s > -s_tol) & (radius > cfg.act_eps) & (gamma > cfg.act_eps)
+    return s, active
+
+
 class QCQPVJP(NamedTuple):
     dl: Array         # (B, 2nc)
     dgamma: Array     # (B, nc)
@@ -418,12 +441,25 @@ def qcqp_vjp(
         duals = qcqp_dual(P, q, radius, l, cfg)
     B_, n = l.shape
     nc = radius.shape[-1]
-    pts = l.reshape(B_, nc, 2)
-    s = jnp.sum(pts * pts, axis=-1) - radius * radius
-    active = (
-        (s > -cfg.act_eps) & (radius > cfg.act_eps) & (duals.gamma > cfg.act_eps)
-    )
+    s, active = qcqp_strict_active(l, radius, duals.gamma, cfg)
     am = active.astype(l.dtype)
+
+    use_schur = P.ndim == 3 and (
+        cfg.backend == "pallas"
+        or (
+            cfg.backend == "auto"
+            and l.dtype == jnp.float32
+            and n <= 64
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if use_schur:
+        # Fused Schur-complement kernel: one SPD Cholesky of D + an nc x nc
+        # system, no (B, nc+n, nc+n) assembly (kernels/qcqp_bwd_pallas.py).
+        from ..kernels.qcqp_bwd_pallas import qcqp_kkt_bwd_pallas
+
+        dgamma, dl = qcqp_kkt_bwd_pallas(P, l, g, duals.gamma, s, active)
+        return QCQPVJP(dl=dl, dgamma=dgamma * am, gamma=duals.gamma)
 
     # Assemble S^T = [[diag(s), C^T], [B^T, D]] DIRECTLY (each block is a
     # masked broadcast; D is symmetric), avoiding a batched trailing-dims

@@ -110,7 +110,7 @@ def _admm_chol_kernel(
     L = jnp.sum(v * matvec_p(v), axis=0, keepdims=True)
     L = jnp.maximum(L, mu_prox)
     ratio = L / mu_prox
-    rho0 = jnp.sqrt(mu_prox * L) * jnp.power(ratio, f32(0.4))
+    rho0 = jnp.sqrt(mu_prox * L) * jnp.power(ratio, f32(0.4)) * f32(cfg.rho0_scale)
     tau0 = jnp.power(ratio, f32(0.15))
 
     def factorize(shift):

@@ -1,0 +1,257 @@
+"""Fused QCQP backward (KKT adjoint) kernel: Schur complement in VMEM.
+
+The generic backward assembles the (nc+n)x(nc+n) transposed KKT system in XLA
+and solves it with the Householder-QR kernel (qr_solve_pallas.py). For the
+QCQP that is wasteful: the system has 2x2 block structure with an SPD (2,2)
+block, so a Schur-complement reduction solves it with one n x n CHOLESKY (6x
+fewer FLOPs than QR at m = nc+n = 1.5n) plus an nc x nc system - and doing it
+inside one kernel removes the (B, m, m) assembly arrays and their HBM round
+trips entirely.
+
+Math. Unknowns (dgamma (nc), dl (n)); the transposed system is
+    [[Sigma, C^T], [B^T, D]] (dgamma, dl) = (0, g)
+with Sigma = diag(s*am + (1-am)), C (n, nc) masked columns 2 l_(i),
+B^T = C diag(gamma*am), D = P + blockdiag(2 gamma_i I_2) SPD. Eliminating dl:
+    dl = D^{-1}(g - C diag(gamma*am) dgamma)
+    (Sigma - C^T D^{-1} C diag(gamma*am)) dgamma = -C^T D^{-1} g
+so: factor D once (in-VMEM Cholesky), solve the nc+1 right-hand sides
+[g | C], form the nc x nc matrix M and solve it by the same unrolled
+Householder-QR used in qr_solve_pallas (M is small and unsymmetric).
+Inactive contacts have zero C-columns and unit Sigma, so their dgamma rows
+decouple to exact zeros - same fixed-shape masking as diff/kkt.py.
+
+Layout identical to the forward kernel (admm_pallas.py): problems on lanes,
+coordinates on sublanes; the QCQP coordinate permutation (contact i owns
+rows (i, nc+i)) makes per-contact gathers pure row slicing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _qcqp_bwd_kernel(
+    p_ref, l_ref, g_ref, gam_ref, s_ref, am_ref,
+    dgamma_out, dl_out,
+    lc_ref, w_ref, m_ref,
+    *, n: int, nc: int, nc_pad: int,
+):
+    """Per-lane Schur-complement KKT adjoint solve.
+
+    Shapes (sublanes x lanes): p (n, n, tb); l, g, dl (n, tb);
+    gam, s, am, dgamma (nc_pad, tb). Scratch: lc (n, n, tb) Cholesky of D,
+    w (n, nc_pad+8, tb) solves of [g | C], m (nc_pad, nc_pad, tb).
+    Coordinates are in PERMUTED order: contact c owns rows (c, nc + c).
+    """
+    f32 = jnp.float32
+    tiny = f32(1e-30)
+
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (nc_pad, 1), 0)
+
+    gam_raw = gam_ref[:]                  # recovered duals (their own mask)
+    am = am_ref[:]
+    gam = gam_raw * am                    # strict-complementarity masked
+    l = l_ref[:]
+    g = g_ref[:]
+
+    # D's shift uses the RAW recovered gamma (diff/kkt.py::qcqp_vjp builds
+    # D = P + blockdiag(2 gamma I_2) from duals.gamma, which carries only the
+    # dual-recovery activity mask - not the strict-complementarity mask am
+    # that gates the B/C blocks). Rows (c) and (nc + c) get gamma_c in the
+    # permuted order; padded coordinate rows (>= 2nc) get 0.
+    if n > 2 * nc:
+        pad_rows = jnp.zeros((n - 2 * nc, gam_raw.shape[-1]), f32)
+        gam_coord = jnp.concatenate(
+            [gam_raw[:nc, :], gam_raw[:nc, :], pad_rows], axis=0
+        )
+    else:
+        gam_coord = jnp.concatenate([gam_raw[:nc, :], gam_raw[:nc, :]], axis=0)
+
+    # ---- Cholesky of D = P + diag(2 gamma_coord) (pads carry P's identity)
+    for j in range(n):
+        ej = (row_n == j).astype(f32)
+        s_col = p_ref[:, j, :] + ej * (2.0 * gam_coord[j : j + 1, :])
+        for k in range(j):
+            colk = lc_ref[:, k, :]
+            s_col = s_col - colk * colk[j : j + 1, :]
+        d = jnp.maximum(s_col[j : j + 1, :], tiny)
+        col = s_col * jax.lax.rsqrt(d)
+        lc_ref[:, j, :] = col * (row_n >= j).astype(f32)
+
+    def chol_solve(rhs):
+        """(L L^T)^{-1} rhs, rhs (n, tb)."""
+        acc = rhs
+        ys = []
+        for i in range(n):
+            coli = lc_ref[:, i, :]
+            yi = acc[i : i + 1, :] / coli[i : i + 1, :]
+            ys.append(yi)
+            acc = acc - coli * yi
+        y = jnp.concatenate(ys, axis=0)
+        acc = y
+        xs = [None] * n
+        for i in reversed(range(n)):
+            rowi = lc_ref[i]
+            xi = acc[i : i + 1, :] / rowi[i : i + 1, :]
+            xs[i] = xi
+            acc = acc - rowi * xi
+        return jnp.concatenate(xs, axis=0)
+
+    # ---- W = D^{-1} [g | C]; C column c = 2 l at rows (c, nc+c), masked.
+    w_ref[:, 0, :] = chol_solve(g)
+    for c in range(nc):
+        ec = ((row_n == c) | (row_n == nc + c)).astype(f32)
+        col = 2.0 * l * ec * am[c : c + 1, :]
+        w_ref[:, 1 + c, :] = chol_solve(col)
+
+    # ---- M = Sigma - C^T W_C diag(gam); y = -C^T W_g   (per lane, nc x nc)
+    # C^T z for contact r: 2 (l_r z_r + l_{nc+r} z_{nc+r}) * am_r.
+    def ct_dot(z):
+        """(n, tb) -> (nc_pad, tb): per-contact C^T z (masked)."""
+        vals = 2.0 * (
+            l[:nc, :] * z[:nc, :] + l[nc : 2 * nc, :] * z[nc : 2 * nc, :]
+        )
+        out = vals * am[:nc, :]
+        if nc_pad > nc:
+            out = jnp.concatenate(
+                [out, jnp.zeros((nc_pad - nc, z.shape[-1]), f32)], axis=0
+            )
+        return out
+
+    y = -ct_dot(w_ref[:, 0, :])                                   # (nc_pad, tb)
+    sigma = s_ref[:] * am + (1.0 - am)                            # (nc_pad, tb)
+    for c in range(nc):
+        ctwc = ct_dot(w_ref[:, 1 + c, :])                          # (nc_pad, tb)
+        ec = (row_c == c).astype(f32)
+        m_ref[:, c, :] = sigma * ec - ctwc * gam[c : c + 1, :]
+    for c in range(nc, nc_pad):
+        m_ref[:, c, :] = (row_c == c).astype(f32) + sigma * 0.0
+
+    # ---- solve M dgamma = y by unrolled Householder QR (M small, nc_pad^2)
+    b = y
+    for k in range(nc_pad):
+        below = (row_c >= k).astype(f32)
+        col = m_ref[:, k, :] * below
+        akk = col[k : k + 1, :]
+        nrm = jnp.sqrt(jnp.sum(col * col, axis=0, keepdims=True))
+        sgn = jnp.where(akk < 0.0, f32(-1.0), f32(1.0))
+        alpha = -sgn * nrm
+        ek = (row_c == k).astype(f32)
+        v = col - alpha * ek
+        vsq = jnp.sum(v * v, axis=0, keepdims=True)
+        beta = jnp.where(vsq > tiny, f32(2.0) / jnp.maximum(vsq, tiny), f32(0.0))
+        m_ref[:, k, :] = alpha * ek + m_ref[:, k, :] * (row_c < k).astype(f32)
+        for j in range(k + 1, nc_pad):
+            cj = m_ref[:, j, :]
+            wj = jnp.sum(v * cj, axis=0, keepdims=True)
+            m_ref[:, j, :] = cj - (beta * wj) * v
+        wb = jnp.sum(b * v, axis=0, keepdims=True)
+        b = b - (beta * wb) * v
+    dgam = b * 0.0
+    for k in reversed(range(nc_pad)):
+        rrow = m_ref[k]
+        upper = (row_c > k).astype(f32)
+        dot = jnp.sum(rrow * dgam * upper, axis=0, keepdims=True)
+        diag = rrow[k : k + 1, :]
+        safe = jnp.where(jnp.abs(diag) > tiny, diag, tiny)
+        xk = (b[k : k + 1, :] - dot) / safe
+        dgam = dgam + xk * (row_c == k).astype(f32)
+    dgam = dgam * am
+
+    # ---- dl = W_g - W_C (gam * dgamma)
+    dl = w_ref[:, 0, :]
+    for c in range(nc):
+        dl = dl - w_ref[:, 1 + c, :] * (gam[c : c + 1, :] * dgam[c : c + 1, :])
+
+    dgamma_out[:] = dgam
+    dl_out[:] = dl
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def qcqp_kkt_bwd_pallas(
+    P: Array,          # (B, n, n) in REFERENCE coordinate order
+    l: Array,          # (B, n)
+    g: Array,          # (B, n) upstream cotangent
+    gamma: Array,      # (B, nc)
+    s: Array,          # (B, nc) squared slacks
+    active: Array,     # (B, nc) strict-complementarity mask (bool)
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Returns (dgamma (B, nc), dl (B, n)), matching diff/kkt.py::qcqp_vjp's
+    linear solve exactly (same masking semantics). float32 compute."""
+    B, n = l.shape
+    nc = gamma.shape[-1]
+    f32 = jnp.float32
+    orig = l.dtype
+
+    # permute coordinates: reference (2i, 2i+1) -> kernel (i, nc+i)
+    perm = np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1])
+    inv = np.argsort(np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1]))
+    Pp = P[:, perm][:, :, perm]
+    lp = l[:, perm]
+    gp = g[:, perm]
+
+    tb = min(tile_b, _round_up(B, _LANES))
+    Bp = _round_up(B, tb)
+    n_pad = _round_up(n, 8)
+    nc_pad = _round_up(nc, 8)
+    pad_b, pad_n, pad_c = Bp - B, n_pad - n, nc_pad - nc
+
+    P_k = jnp.pad(Pp.astype(f32), ((0, pad_b), (0, pad_n), (0, pad_n)))
+    if pad_n:
+        fix = np.zeros((n_pad, n_pad), np.float32)
+        fix[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
+        P_k = P_k + jnp.asarray(fix)[None]
+    if pad_b:
+        P_k = P_k.at[B:, :n, :n].set(jnp.eye(n, dtype=f32)[None])
+    P_k = jnp.transpose(P_k, (1, 2, 0))
+
+    def vec_n(x):
+        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_n))).T
+
+    def vec_c(x):
+        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_c))).T
+
+    grid = (Bp // tb,)
+    nvec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cvec = pl.BlockSpec((nc_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((n_pad, n_pad, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _qcqp_bwd_kernel, n=n_pad, nc=nc, nc_pad=nc_pad
+    )
+    dgam_k, dl_k = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat, nvec, nvec, cvec, cvec, cvec],
+        out_specs=(cvec, nvec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc_pad, Bp), f32),
+            jax.ShapeDtypeStruct((n_pad, Bp), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, tb), f32),
+            pltpu.VMEM((n_pad, nc_pad + 8, tb), f32),
+            pltpu.VMEM((nc_pad, nc_pad, tb), f32),
+        ],
+        interpret=interpret,
+    )(P_k, vec_n(lp), vec_n(gp), vec_c(gamma), vec_c(s), vec_c(active.astype(f32)))
+
+    dgamma = dgam_k.T[:B, :nc].astype(orig)
+    dl = dl_k.T[:B, :n][:, inv].astype(orig)
+    return dgamma, dl

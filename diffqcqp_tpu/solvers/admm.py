@@ -94,7 +94,7 @@ def _initial_state(
         L = fact.lmax
     L = jnp.maximum(L, jnp.asarray(cfg.mu_prox, dtype))  # guard degenerate P=0
     ratio = L / cfg.mu_prox
-    rho = jnp.sqrt(cfg.mu_prox * L) * ratio**0.4          # Solver.cpp:72
+    rho = jnp.sqrt(cfg.mu_prox * L) * ratio**0.4 * cfg.rho0_scale  # Solver.cpp:72
     tau = ratio**0.15                                      # Solver.cpp:73
     zeros = jnp.zeros_like(q)
     return ADMMState(

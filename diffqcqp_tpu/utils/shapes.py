@@ -91,6 +91,13 @@ def canon_problem(P: Array, q: Array) -> Canon:
         else:
             raise ValueError(f"batch mismatch: P {Pf.shape}, q {qf.shape}")
 
+    # Mixed-precision inputs (e.g. float64 P with float32 q under x64) would
+    # surface as an obscure while_loop carry-dtype error deep in the engine;
+    # unify to the promoted dtype here instead.
+    common = jnp.promote_types(Pf.dtype, qf.dtype)
+    Pf = Pf.astype(common)
+    qf = qf.astype(common)
+
     # The quadratic form only sees the symmetric part of P; symmetrising here
     # makes forward solve, KKT differentiation and grad_P mutually consistent
     # (grad_P is returned symmetrised; identical to the reference's one-sided
@@ -135,4 +142,4 @@ def canon_like(x: Array, canon: Canon, name: str, width: int | None = None) -> A
             xf = jnp.broadcast_to(xf, (canon.q.shape[0],) + xf.shape[1:])
         else:
             raise ValueError(f"{name}: batch {xf.shape[0]} != {canon.q.shape[0]}")
-    return xf
+    return xf.astype(canon.q.dtype)
