@@ -40,10 +40,14 @@ def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=5):
 
     from diffqcqp_tpu import QCQP_DEFAULTS, solve_qcqp, solve_qcqp_with_stats
 
-    # rho0_scale is a tuning knob (see SolverConfig): x3 cuts mean iterations
+    # Tuning knobs (see SolverConfig): rho0_scale x3 cuts mean iterations
     # ~30% on this problem distribution with identical solutions (verified
-    # against rho0_scale=1.0 to ~1e-5 and against the native f64 oracle).
-    cfg = QCQP_DEFAULTS.replace(eps=eps, max_iter=max_iter, rho0_scale=3.0)
+    # against rho0_scale=1.0 to ~1e-5 and against the native f64 oracle);
+    # 20 power-iteration steps estimate L as well as the reference's 100
+    # (iteration counts measurably identical) at ~1.5 ms less setup.
+    cfg = QCQP_DEFAULTS.replace(
+        eps=eps, max_iter=max_iter, rho0_scale=3.0, power_iters=20
+    )
     P, q, l_n, mu = _build_problems(b, nc, np.float32)
     P, q, l_n, mu = map(jnp.asarray, (P, q, l_n, mu))
 
