@@ -103,7 +103,7 @@ class SolverConfig:
     ir_iters: int = 10
     axis_name: Optional[str] = None
     backend: str = "auto"
-    pallas_tile_b: int = 256
+    pallas_tile_b: int = 512
     stall_tol: float = 8.0
     rho_sync: bool = True
     rho0_scale: float = 1.0
