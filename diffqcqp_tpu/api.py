@@ -33,6 +33,7 @@ from jax import Array
 from .config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
 from .diff import kkt
 from .kernels import admm_pallas
+from .ops.equilibrate import isotropize, ruiz_diag, scale_problem
 from .ops.prox import prox_box, prox_disk, prox_nonneg, prox_signed_box
 from .solvers.admm import SolveStats, admm_solve
 from .utils.shapes import canon_like, canon_problem
@@ -119,12 +120,19 @@ def _use_pallas(P, q, cfg: SolverConfig) -> bool:
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _qp(P, q, ws, cfg):
+    d = None
+    if cfg.equilibrate:
+        # D > 0 preserves l >= 0; solve the rescaled problem, map back.
+        d = ruiz_diag(P, cfg.ruiz_iters)
+        P, q, ws = *scale_problem(P, q, d), ws / d
     if _use_pallas(P, q, cfg):
-        return admm_pallas.admm_solve_pallas(
+        l, stats = admm_pallas.admm_solve_pallas(
             P, q, ws, admm_pallas.PROX_NONNEG, (), cfg,
             tile_b=cfg.pallas_tile_b,
         )
-    return admm_solve(P, q, ws, prox_nonneg, cfg)
+    else:
+        l, stats = admm_solve(P, q, ws, prox_nonneg, cfg)
+    return (l * d if d is not None else l), stats
 
 
 def _qp_fwd(P, q, ws, cfg):
@@ -149,13 +157,20 @@ _qp.defvjp(_qp_fwd, _qp_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _box_qp(P, q, l_min, l_max, ws, cfg):
+    d = None
+    if cfg.equilibrate:
+        d = ruiz_diag(P, cfg.ruiz_iters)
+        P, q, ws = *scale_problem(P, q, d), ws / d
+        l_min, l_max = l_min / d, l_max / d
     if _use_pallas(P, q, cfg):
-        return admm_pallas.admm_solve_pallas(
+        l, stats = admm_pallas.admm_solve_pallas(
             P, q, ws, admm_pallas.PROX_BOX, (l_min, l_max), cfg,
             tile_b=cfg.pallas_tile_b,
         )
-    prox = lambda x: prox_box(x, l_min, l_max)
-    return admm_solve(P, q, ws, prox, cfg)
+    else:
+        prox = lambda x: prox_box(x, l_min, l_max)
+        l, stats = admm_solve(P, q, ws, prox, cfg)
+    return (l * d if d is not None else l), stats
 
 
 def _box_qp_fwd(P, q, l_min, l_max, ws, cfg):
@@ -192,13 +207,21 @@ _box_qp.defvjp(_box_qp_fwd, _box_qp_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _signed_box_qp(P, q, l_min, l_max, v, ws, cfg):
     v_sign = jnp.sign(v)
+    d = None
+    if cfg.equilibrate:
+        # sign(v * l) is invariant under the positive rescaling.
+        d = ruiz_diag(P, cfg.ruiz_iters)
+        P, q, ws = *scale_problem(P, q, d), ws / d
+        l_min, l_max = l_min / d, l_max / d
     if _use_pallas(P, q, cfg):
-        return admm_pallas.admm_solve_pallas(
+        l, stats = admm_pallas.admm_solve_pallas(
             P, q, ws, admm_pallas.PROX_SIGNED_BOX, (l_min, l_max, v_sign),
             cfg, tile_b=cfg.pallas_tile_b,
         )
-    prox = lambda x: prox_signed_box(x, l_min, l_max, v_sign)
-    return admm_solve(P, q, ws, prox, cfg)
+    else:
+        prox = lambda x: prox_signed_box(x, l_min, l_max, v_sign)
+        l, stats = admm_solve(P, q, ws, prox, cfg)
+    return (l * d if d is not None else l), stats
 
 
 def _signed_box_qp_fwd(P, q, l_min, l_max, v, ws, cfg):
@@ -234,15 +257,24 @@ _signed_box_qp.defvjp(_signed_box_qp_fwd, _signed_box_qp_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _qcqp(P, q, l_n, mu, ws, cfg):
     radius = l_n * mu                       # pybindings.cpp:57
+    d = None
+    if cfg.equilibrate:
+        # both coordinates of a contact must share one scale (isotropize)
+        # or the disk constraint would become an ellipse.
+        d = isotropize(ruiz_diag(P, cfg.ruiz_iters))
+        P, q, ws = *scale_problem(P, q, d), ws / d
+        radius = radius / d[:, ::2]
     if _use_pallas(P, q, cfg):
-        return admm_pallas.admm_solve_pallas(
+        l, stats = admm_pallas.admm_solve_pallas(
             P, q, ws, admm_pallas.PROX_DISK, (radius,), cfg,
             qcqp_stopping=True, damp_both=False, tile_b=cfg.pallas_tile_b,
         )
-    prox = lambda x: prox_disk(x, radius)
-    return admm_solve(
-        P, q, ws, prox, cfg, qcqp_stopping=True, damp_both_taus=False
-    )
+    else:
+        prox = lambda x: prox_disk(x, radius)
+        l, stats = admm_solve(
+            P, q, ws, prox, cfg, qcqp_stopping=True, damp_both_taus=False
+        )
+    return (l * d if d is not None else l), stats
 
 
 def _qcqp_fwd(P, q, l_n, mu, ws, cfg):

@@ -85,6 +85,15 @@ class SolverConfig:
         cuts mean iterations ~30% with identical solutions (the adaptive
         schedule converges to the same fixed point). A tuning knob, not a
         semantic change.
+      equilibrate: Ruiz-rescale each problem (ops/equilibrate.py) before
+        solving and map the solution back - an algorithmic improvement the
+        reference lacks, essential for its own pathologically-conditioned
+        benchmark generator (exp-diag P, condition up to ~e^40) and for
+        float32 on anything ill-conditioned. With equilibration on, eps is
+        enforced on the EQUILIBRATED residuals (a relative-like criterion,
+        the OSQP semantic); gradients are unaffected (the KKT adjoint always
+        differentiates the original problem at the mapped-back solution).
+      ruiz_iters: fixed Ruiz iteration count when equilibrate is set.
     """
 
     eps: float = 1e-10
@@ -107,6 +116,8 @@ class SolverConfig:
     stall_tol: float = 8.0
     rho_sync: bool = True
     rho0_scale: float = 1.0
+    equilibrate: bool = False
+    ruiz_iters: int = 10
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,67 @@
+"""Ruiz equilibration: diagonal rescaling of badly-conditioned problems.
+
+The reference has no preconditioning - its own benchmark protocol generates
+P with condition numbers up to ~e^40 (test_script.py:144-149 squares an
+exp(U(-10,10)) diagonal twice), where a fixed-precision ADMM at absolute
+eps either crawls or stalls. Ruiz equilibration (the OSQP recipe: repeatedly
+divide each row/col by the sqrt of its inf-norm) computes a positive
+diagonal D with P_eq = D P D having near-unit row norms; solving the
+rescaled problem and mapping back converges in a few dozen iterations where
+the raw problem needs thousands (or, in float32, never certifies).
+
+Substitution l = D l_eq maps the constraint sets cleanly:
+
+  non-negative:  l_eq >= 0                        (D > 0)
+  box:           D^-1 l_min <= l_eq <= D^-1 l_max
+  signed box:    sign(v) unchanged
+  friction cone: per-contact ISOTROPIC scale d_i = sqrt(d_2i * d_2i+1)
+                 (both coordinates of a contact must share one scale or the
+                 disk would become an ellipse); radius_eq = radius / d_i.
+
+The KKT differentiation (diff/kkt.py) always sees the ORIGINAL problem and
+the mapped-back solution, so gradients are exact regardless of scaling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def ruiz_diag(P: Array, iters: int = 10, eps: float = 1e-30) -> Array:
+    """Equilibration diagonal d (B, N) > 0 such that diag(d) P diag(d) has
+    ~unit inf-norm rows. P (B, N, N) dense or (B, N) diagonal."""
+    if P.ndim == 2:
+        return 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(P), eps))
+
+    def body(_, d):
+        Pd = P * d[:, :, None] * d[:, None, :]
+        norms = jnp.max(jnp.abs(Pd), axis=-1)
+        return d / jnp.sqrt(jnp.maximum(norms, eps))
+
+    d0 = jnp.ones(P.shape[:2], P.dtype)
+    return jax.lax.fori_loop(0, iters, body, d0)
+
+
+def scale_problem(P: Array, q: Array, d: Array) -> tuple[Array, Array]:
+    """(P, q) -> (D P D, D q)."""
+    if P.ndim == 2:
+        return P * d * d, q * d
+    return P * d[:, :, None] * d[:, None, :], q * d
+
+
+def contact_scale(d: Array) -> Array:
+    """Per-contact isotropic scale (B, nc) = geomean of the two coordinate
+    scales; d (B, 2nc)."""
+    B, n = d.shape
+    pairs = d.reshape(B, n // 2, 2)
+    return jnp.sqrt(pairs[..., 0] * pairs[..., 1])
+
+
+def isotropize(d: Array) -> Array:
+    """Replace each contact's two coordinate scales by their geomean so the
+    disk constraint stays a disk; d (B, 2nc) -> (B, 2nc)."""
+    B, n = d.shape
+    c = contact_scale(d)
+    return jnp.repeat(c, 2, axis=-1)
