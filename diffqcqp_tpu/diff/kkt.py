@@ -437,29 +437,39 @@ def qcqp_vjp(
     gamma > act_eps (strict complementarity, required by the direct LU
     solve; see module docstring). Solved as S^T x = [0; g] by LU.
     """
-    if duals is None:
-        duals = qcqp_dual(P, q, radius, l, cfg)
     B_, n = l.shape
     nc = radius.shape[-1]
-    s, active = qcqp_strict_active(l, radius, duals.gamma, cfg)
-    am = active.astype(l.dtype)
 
-    use_schur = P.ndim == 3 and (
-        cfg.backend == "pallas"
-        or (
-            cfg.backend == "auto"
-            and l.dtype == jnp.float32
-            and n <= 64
-            and jax.default_backend() == "tpu"
+    use_schur = (
+        duals is None
+        and P.ndim == 3
+        and (
+            cfg.backend == "pallas"
+            or (
+                cfg.backend == "auto"
+                and l.dtype == jnp.float32
+                and n <= 64
+                and jax.default_backend() == "tpu"
+            )
         )
     )
     if use_schur:
-        # Fused Schur-complement kernel: one SPD Cholesky of D + an nc x nc
-        # system, no (B, nc+n, nc+n) assembly (kernels/qcqp_bwd_pallas.py).
-        from ..kernels.qcqp_bwd_pallas import qcqp_kkt_bwd_pallas
+        # One fused kernel: dual recovery + Schur-complement adjoint solve
+        # (one SPD Cholesky of D + an nc x nc system, no (B, nc+n, nc+n)
+        # assembly and no separate Pl+q pass; kernels/qcqp_bwd_pallas.py).
+        from ..kernels.qcqp_bwd_pallas import qcqp_kkt_bwd_fused
 
-        dgamma, dl = qcqp_kkt_bwd_pallas(P, l, g, duals.gamma, s, active)
-        return QCQPVJP(dl=dl, dgamma=dgamma * am, gamma=duals.gamma)
+        dgamma, dl, gamma = qcqp_kkt_bwd_fused(
+            P, q, l, g, radius,
+            eps=cfg.eps, act_eps=cfg.act_eps,
+            stall_ulps=8.0 * float(jnp.finfo(jnp.float32).eps),
+        )
+        return QCQPVJP(dl=dl, dgamma=dgamma, gamma=gamma)
+
+    if duals is None:
+        duals = qcqp_dual(P, q, radius, l, cfg)
+    s, active = qcqp_strict_active(l, radius, duals.gamma, cfg)
+    am = active.astype(l.dtype)
 
     # Assemble S^T = [[diag(s), C^T], [B^T, D]] DIRECTLY (each block is a
     # masked broadcast; D is symmetric), avoiding a batched trailing-dims

@@ -67,6 +67,20 @@ def _qcqp_bwd_kernel(
     gam = gam_raw * am                    # strict-complementarity masked
     l = l_ref[:]
     g = g_ref[:]
+    _schur_core(
+        p_ref, l, g, gam_raw, gam, am, s_ref[:],
+        dgamma_out, dl_out, lc_ref, w_ref, m_ref,
+        row_n=row_n, row_c=row_c, n=n, nc=nc, nc_pad=nc_pad,
+    )
+
+
+def _schur_core(
+    p_ref, l, g, gam_raw, gam, am, sigma_s,
+    dgamma_out, dl_out, lc_ref, w_ref, m_ref,
+    *, row_n, row_c, n: int, nc: int, nc_pad: int,
+):
+    f32 = jnp.float32
+    tiny = f32(1e-30)
 
     # D's shift uses the RAW recovered gamma (diff/kkt.py::qcqp_vjp builds
     # D = P + blockdiag(2 gamma I_2) from duals.gamma, which carries only the
@@ -133,7 +147,7 @@ def _qcqp_bwd_kernel(
         return out
 
     y = -ct_dot(w_ref[:, 0, :])                                   # (nc_pad, tb)
-    sigma = s_ref[:] * am + (1.0 - am)                            # (nc_pad, tb)
+    sigma = sigma_s * am + (1.0 - am)                             # (nc_pad, tb)
     for c in range(nc):
         ctwc = ct_dot(w_ref[:, 1 + c, :])                          # (nc_pad, tb)
         ec = (row_c == c).astype(f32)
@@ -179,6 +193,154 @@ def _qcqp_bwd_kernel(
 
     dgamma_out[:] = dgam
     dl_out[:] = dl
+
+
+def _qcqp_bwd_fused_kernel(
+    p_ref, q_ref, l_ref, g_ref, r_ref,
+    dgamma_out, dl_out, gamma_out,
+    lc_ref, w_ref, m_ref,
+    *, n: int, nc: int, nc_pad: int,
+    eps: float, act_eps: float, stall_ulps: float,
+):
+    """Dual recovery (Solver.cpp:584-617, closed form per contact) FUSED
+    with the Schur-complement adjoint solve - P and l are already in VMEM,
+    so Pl+q costs n column FMAs and the whole QCQP backward is one kernel.
+    """
+    f32 = jnp.float32
+    tiny = f32(1e-30)
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (nc_pad, 1), 0)
+
+    l = l_ref[:]
+    g = g_ref[:]
+    r = r_ref[:]                                   # (nc_pad, tb) radii
+
+    # plq = P l + q (column FMAs against the VMEM-resident P)
+    plq = q_ref[:]
+    for k in range(n):
+        plq = plq + p_ref[:, k, :] * l[k : k + 1, :]
+
+    # per-contact quantities (permuted layout: contact c owns rows c, nc+c)
+    la, lb = l[:nc, :], l[nc : 2 * nc, :]
+    pa, pb = plq[:nc, :], plq[nc : 2 * nc, :]
+    sq = la * la + lb * lb                         # ||l_(c)||^2, (nc, tb)
+    nrm = jnp.sqrt(sq)
+    rr = r[:nc, :]
+    # dual recovery: active iff slack <= eps and r >= eps (Solver.cpp:597)
+    act_rec = ((rr - nrm <= f32(eps)) & (rr >= f32(eps))).astype(f32)
+    num = -2.0 * (la * pa + lb * pb)
+    gam_raw_c = act_rec * num / jnp.maximum(4.0 * sq, tiny)
+    # strict-complementarity mask (diff/kkt.py::qcqp_strict_active)
+    s_c = sq - rr * rr
+    s_tol = jnp.maximum(f32(act_eps), f32(stall_ulps) * (sq + rr * rr))
+    am_c = (
+        (s_c > -s_tol)
+        & (rr > f32(act_eps))
+        & (gam_raw_c > f32(act_eps))
+    ).astype(f32)
+
+    def pad_c(x):
+        if nc_pad > nc:
+            return jnp.concatenate(
+                [x, jnp.zeros((nc_pad - nc, x.shape[-1]), f32)], axis=0
+            )
+        return x
+
+    gam_raw = pad_c(gam_raw_c)
+    am = pad_c(am_c)
+    gam = gam_raw * am
+    sigma_s = pad_c(s_c)
+
+    gamma_out[:] = gam_raw
+    _schur_core(
+        p_ref, l, g, gam_raw, gam, am, sigma_s,
+        dgamma_out, dl_out, lc_ref, w_ref, m_ref,
+        row_n=row_n, row_c=row_c, n=n, nc=nc, nc_pad=nc_pad,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "act_eps", "stall_ulps", "tile_b", "interpret"),
+)
+def qcqp_kkt_bwd_fused(
+    P: Array,          # (B, n, n) in REFERENCE coordinate order
+    q: Array,          # (B, n)
+    l: Array,          # (B, n)
+    g: Array,          # (B, n) upstream cotangent
+    radius: Array,     # (B, nc) = l_n * mu
+    eps: float,
+    act_eps: float,
+    stall_ulps: float = 8.0 * 1.1920929e-7,
+    tile_b: int = 512,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """One-kernel QCQP backward: dual recovery + Schur KKT adjoint.
+    Returns (dgamma (B, nc), dl (B, n), gamma (B, nc))."""
+    B, n = l.shape
+    nc = radius.shape[-1]
+    f32 = jnp.float32
+    orig = l.dtype
+
+    perm = np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1])
+    inv = np.argsort(perm)
+    Pp = P[:, perm][:, :, perm]
+    lp = l[:, perm]
+    gp = g[:, perm]
+    qp = q[:, perm]
+
+    tb = min(tile_b, _round_up(B, _LANES))
+    Bp = _round_up(B, tb)
+    n_pad = _round_up(n, 8)
+    nc_pad = _round_up(nc, 8)
+    pad_b, pad_n, pad_c = Bp - B, n_pad - n, nc_pad - nc
+
+    P_k = jnp.pad(Pp.astype(f32), ((0, pad_b), (0, pad_n), (0, pad_n)))
+    if pad_n:
+        fix = np.zeros((n_pad, n_pad), np.float32)
+        fix[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
+        P_k = P_k + jnp.asarray(fix)[None]
+    if pad_b:
+        P_k = P_k.at[B:, :n, :n].set(jnp.eye(n, dtype=f32)[None])
+    P_k = jnp.transpose(P_k, (1, 2, 0))
+
+    def vec_n(x):
+        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_n))).T
+
+    def vec_c(x):
+        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_c))).T
+
+    grid = (Bp // tb,)
+    nvec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cvec = pl.BlockSpec((nc_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((n_pad, n_pad, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _qcqp_bwd_fused_kernel, n=n_pad, nc=nc, nc_pad=nc_pad,
+        eps=float(eps), act_eps=float(act_eps), stall_ulps=float(stall_ulps),
+    )
+    dgam_k, dl_k, gamma_k = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat, nvec, nvec, nvec, cvec],
+        out_specs=(cvec, nvec, cvec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc_pad, Bp), f32),
+            jax.ShapeDtypeStruct((n_pad, Bp), f32),
+            jax.ShapeDtypeStruct((nc_pad, Bp), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, tb), f32),
+            pltpu.VMEM((n_pad, nc_pad + 8, tb), f32),
+            pltpu.VMEM((nc_pad, nc_pad, tb), f32),
+        ],
+        interpret=interpret,
+    )(P_k, vec_n(qp), vec_n(lp), vec_n(gp), vec_c(radius))
+
+    dgamma = dgam_k.T[:B, :nc].astype(orig)
+    dl = dl_k.T[:B, :n][:, inv].astype(orig)
+    gamma = gamma_k.T[:B, :nc].astype(orig)
+    return dgamma, dl, gamma
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))

@@ -45,3 +45,27 @@ def test_schur_matches_generic(rng, nc, zero_frac):
     )
     np.testing.assert_allclose(np.array(dl), np.array(ref.dl), atol=5e-5)
     np.testing.assert_allclose(np.array(dgam), np.array(ref.dgamma), atol=2e-4)
+
+
+@pytest.mark.parametrize("nc,zero_frac", [(3, 0.0), (4, 0.3)])
+def test_fused_dual_plus_schur_matches_generic(rng, nc, zero_frac):
+    """The fully-fused variant (dual recovery in-kernel) must agree with the
+    generic path on (dl, dgamma, gamma)."""
+    from diffqcqp_tpu.kernels.qcqp_bwd_pallas import qcqp_kkt_bwd_fused
+
+    b = 12
+    P, q, l_n, mu = _problem(rng, b, nc, zero_frac)
+    radius = l_n * mu
+    l = dq.solve_qcqp(P, q, l_n, mu, eps=1e-9, max_iter=5000)
+    g = jnp.asarray(rng.standard_normal(l.shape).astype(np.float32))
+
+    ref = K.qcqp_vjp(P, q, radius, l, g, CFG)
+    dgam, dl, gamma = qcqp_kkt_bwd_fused(
+        P, q, l, g, radius,
+        eps=CFG.eps, act_eps=CFG.act_eps,
+        stall_ulps=8.0 * float(jnp.finfo(jnp.float32).eps),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.array(dl), np.array(ref.dl), atol=5e-5)
+    np.testing.assert_allclose(np.array(dgam), np.array(ref.dgamma), atol=2e-4)
+    np.testing.assert_allclose(np.array(gamma), np.array(ref.gamma), atol=1e-4)
