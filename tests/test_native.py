@@ -147,3 +147,18 @@ def test_qcqp_backward_parity(problems):
     res_nat = residual(dgamma_nat, dl_nat)
     assert res_lu < 1e-8, f"LU residual too large: {res_lu}"
     assert res_lu <= res_nat + 1e-8, (res_lu, res_nat)
+
+
+def test_native_test_executable_passes():
+    """Build and run the assert-based native harness (the reference's
+    `diffsolver` equivalent, native/main.cpp) as part of CI."""
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    subprocess.run(["make", "-s", "diffsolver_test"], cwd=native_dir, check=True)
+    out = subprocess.run(
+        ["./diffsolver_test"], cwd=native_dir, check=True,
+        capture_output=True, text=True,
+    )
+    assert "ALL OK" in out.stdout
