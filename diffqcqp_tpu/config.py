@@ -69,8 +69,13 @@ class SolverConfig:
         floor of the working dtype and cannot certify a tighter eps. Without
         this, float32 problems asked for eps below ~1e-6 spin to max_iter
         (and, because convergence is tile-synchronous on TPU, drag every
-        problem in their tile with them). Inert in float64 at reference
-        tolerances (8 ulps ~ 2e-15). 0 disables.
+        problem in their tile with them). Problems converged this way are
+        flagged in ``SolveStats.stalled`` so callers can distinguish an
+        eps-certified solve from a noise-floor stall. Rarely triggered in
+        float64 at reference tolerances (8 ulps ~ 2e-15), but when adaptive
+        rho grows large, rho*delta can exceed eps while delta sits below the
+        ulp floor - check the stalled flag if a certified eps matters.
+        0 disables.
       rho_sync: when True (default), fired rho updates apply only on global
         iterations ``it % rho_update_period == 0``, so every problem's
         refactorisation lands on the same iteration. The reference instead

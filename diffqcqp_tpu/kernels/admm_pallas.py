@@ -68,7 +68,7 @@ def _admm_chol_kernel(
     p_ref, q_ref, ws_ref,
     a_ref, b_ref, c_ref,            # prox params (see wrapper)
     # outputs
-    l2_out, iters_out, resp_out, resd_out, conv_out,
+    l2_out, iters_out, resp_out, resd_out, conv_out, stall_out,
     # scratch
     lc_ref,                          # (n, n, tb) Cholesky factor
     *,
@@ -178,6 +178,7 @@ def _admm_chol_kernel(
         zeros_1,                             # rho_up  (f32 {-1,0,1})
         zeros_1,                             # cpt     (f32 counter)
         zeros_1,                             # converged (f32 0/1)
+        zeros_1,                             # stalled (f32 0/1)
         zeros_1,                             # iters   (f32 counter)
         zeros_1 + f32(jnp.inf),              # res_prim
         zeros_1 + f32(jnp.inf),              # res_dual
@@ -185,11 +186,11 @@ def _admm_chol_kernel(
     )
 
     def cond(s):
-        return (s[0] < cfg.max_iter) & ~s[13]
+        return (s[0] < cfg.max_iter) & ~s[14]
 
     def body(s):
         (it, l2, u, q_prox, rho, tau_inc, tau_dec, rho_up, cpt,
-         conv, iters, resp, resd, _) = s
+         conv, stall, iters, resp, resd, _) = s
         active = 1.0 - conv
 
         l = solve_normal(rho * l2 - u - q_prox)
@@ -201,14 +202,16 @@ def _admm_chol_kernel(
         rd = rho * delta
         rp = jnp.max(jnp.abs(l2_n - r), axis=0, keepdims=True)
 
-        dual_ok = rd < eps
+        eps_ok = rd < eps
         if cfg.stall_tol > 0.0:
             # machine-precision stall (SolverConfig.stall_tol): without this,
             # f32 problems asked for eps below ~1e-6 spin to max_iter and -
             # convergence being tile-synchronous - drag their whole tile.
             floor = f32(cfg.stall_tol * 1.1920929e-7)
             l2inf = jnp.max(jnp.abs(l2_n), axis=0, keepdims=True)
-            dual_ok = dual_ok | (delta <= floor * jnp.maximum(l2inf, f32(1.0)))
+            dual_ok = eps_ok | (delta <= floor * jnp.maximum(l2inf, f32(1.0)))
+        else:
+            dual_ok = eps_ok
         if qcqp_stopping:
             lnorm = jnp.sqrt(jnp.sum(l * l, axis=0, keepdims=True))
             newly = ((rp < eps + eps_rel * lnorm) & dual_ok).astype(f32)
@@ -272,18 +275,23 @@ def _admm_chol_kernel(
         resp_o = keep * rp + (1.0 - keep) * resp
         resd_o = keep * rd + (1.0 - keep) * resd
         conv_o = jnp.maximum(conv, active * newly)
+        # eps-certified vs noise-floor stall (SolveStats.stalled)
+        stall_o = jnp.maximum(
+            stall, active * newly * (1.0 - eps_ok.astype(f32))
+        )
         iters_o = iters + active
         done = jnp.min(conv_o) > 0.5
 
         return (it + 1, l2_o, u_o, qp_o, rho_n, tau_inc_n, tau_dec_n,
-                rho_up_n, cpt_n, conv_o, iters_o, resp_o, resd_o, done)
+                rho_up_n, cpt_n, conv_o, stall_o, iters_o, resp_o, resd_o, done)
 
     final = jax.lax.while_loop(cond, body, state)
     l2_out[:] = final[1]
-    iters_out[:] = final[10]
-    resp_out[:] = final[11]
-    resd_out[:] = final[12]
+    iters_out[:] = final[11]
+    resp_out[:] = final[12]
+    resd_out[:] = final[13]
     conv_out[:] = final[9]
+    stall_out[:] = final[10]
 
 
 def _qcqp_perm(n: int):
@@ -311,8 +319,11 @@ def admm_solve_pallas(
 
     Computes in float32 regardless of input dtype (TPU-native precision);
     outputs are cast back. prox_args: () | (l_min, l_max) |
-    (l_min, l_max, v_sign) | (radius,).
+    (l_min, l_max, v_sign) | (radius,). Off-TPU (e.g. cfg.backend='pallas'
+    on the CPU test backend) the kernel runs in interpret mode - Mosaic only
+    lowers for TPU.
     """
+    interpret = interpret or jax.default_backend() != "tpu"
     B, n = q.shape
     nc = n // 2
     orig_dtype = q.dtype
@@ -384,17 +395,18 @@ def admm_solve_pallas(
         n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg,
         qcqp_stopping=qcqp_stopping, damp_both=damp_both,
     )
-    l2_k, iters_k, resp_k, resd_k, conv_k = pl.pallas_call(
+    l2_k, iters_k, resp_k, resd_k, conv_k, stall_k = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[mat_spec, vec_spec, vec_spec, vec_spec, vec_spec, vec_spec],
-        out_specs=(vec_spec, row_spec, row_spec, row_spec, row_spec),
+        out_specs=(vec_spec, row_spec, row_spec, row_spec, row_spec, row_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),    # iters (f32 in-kernel)
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),    # converged mask (f32)
+            jax.ShapeDtypeStruct((1, Bp), f32),    # stalled mask (f32)
         ),
         scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tb), f32)],
         interpret=interpret,
@@ -408,5 +420,6 @@ def admm_solve_pallas(
         res_prim=resp_k[0, :B].astype(orig_dtype),
         res_dual=resd_k[0, :B].astype(orig_dtype),
         converged=conv_k[0, :B] > 0.5,
+        stalled=stall_k[0, :B] > 0.5,
     )
     return l2.astype(orig_dtype), stats

@@ -276,7 +276,9 @@ def qcqp_kkt_bwd_fused(
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """One-kernel QCQP backward: dual recovery + Schur KKT adjoint.
-    Returns (dgamma (B, nc), dl (B, n), gamma (B, nc))."""
+    Returns (dgamma (B, nc), dl (B, n), gamma (B, nc)). Off-TPU the kernel
+    runs in interpret mode (Mosaic only lowers for TPU)."""
+    interpret = interpret or jax.default_backend() != "tpu"
     B, n = l.shape
     nc = radius.shape[-1]
     f32 = jnp.float32
@@ -355,7 +357,9 @@ def qcqp_kkt_bwd_pallas(
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Returns (dgamma (B, nc), dl (B, n)), matching diff/kkt.py::qcqp_vjp's
-    linear solve exactly (same masking semantics). float32 compute."""
+    linear solve exactly (same masking semantics). float32 compute. Off-TPU
+    the kernel runs in interpret mode (Mosaic only lowers for TPU)."""
+    interpret = interpret or jax.default_backend() != "tpu"
     B, n = l.shape
     nc = gamma.shape[-1]
     f32 = jnp.float32

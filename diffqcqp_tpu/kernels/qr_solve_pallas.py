@@ -107,8 +107,10 @@ def qr_solve_pallas(
 
     float32 on TPU (inputs are cast); Householder QR per problem inside one
     pallas kernel, problems tiled onto lanes. Zero-padded batch tails solve a
-    trivial identity system.
+    trivial identity system. Off-TPU the kernel runs in interpret mode
+    (Mosaic only lowers for TPU).
     """
+    interpret = interpret or jax.default_backend() != "tpu"
     B, m, _ = A.shape
     f32 = jnp.float32
     orig_dtype = b.dtype

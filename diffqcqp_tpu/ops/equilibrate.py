@@ -29,16 +29,23 @@ import jax.numpy as jnp
 from jax import Array
 
 
-def ruiz_diag(P: Array, iters: int = 10, eps: float = 1e-30) -> Array:
+def ruiz_diag(P: Array, iters: int = 10, eps: float = 1e-12) -> Array:
     """Equilibration diagonal d (B, N) > 0 such that diag(d) P diag(d) has
-    ~unit inf-norm rows. P (B, N, N) dense or (B, N) diagonal."""
+    ~unit inf-norm rows. P (B, N, N) dense or (B, N) diagonal.
+
+    Rows whose inf-norm is effectively zero keep their current scale (the
+    identity-row convention): dividing by a clamped-to-tiny norm would grow d
+    without bound, overflow to inf, and NaN-poison the solve, while the
+    unequilibrated engine handles the same degenerate P via its L >= mu_prox
+    guard."""
     if P.ndim == 2:
-        return 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(P), eps))
+        a = jnp.abs(P)
+        return jnp.where(a > eps, 1.0 / jnp.sqrt(jnp.maximum(a, eps)), 1.0)
 
     def body(_, d):
         Pd = P * d[:, :, None] * d[:, None, :]
         norms = jnp.max(jnp.abs(Pd), axis=-1)
-        return d / jnp.sqrt(jnp.maximum(norms, eps))
+        return jnp.where(norms > eps, d / jnp.sqrt(jnp.maximum(norms, eps)), d)
 
     d0 = jnp.ones(P.shape[:2], P.dtype)
     return jax.lax.fori_loop(0, iters, body, d0)

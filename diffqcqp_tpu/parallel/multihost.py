@@ -37,16 +37,34 @@ def initialize_distributed(
 ) -> None:
     """Join the multi-process JAX runtime (call once per host, before any
     other JAX API). No-op if already initialized or running single-process
-    with no coordinator configured."""
+    with no coordinator configured.
+
+    Errors are suppressed ONLY when no coordinator was requested (neither
+    arguments nor the standard env vars set): swallowing a failure from an
+    explicitly-configured launch (bad coordinator address, port clash) would
+    silently degrade every host to an independent single-process run, each
+    quietly solving a different batch than intended."""
+    import os
+
+    explicit = coordinator_address is not None or any(
+        os.environ.get(v)
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES",
+            "JAX_PROCESS_ID",
+        )
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
+        if explicit and "already" not in str(e).lower():
+            raise
         # already initialized, or single-process without coordinator config
-        pass
 
 
 def global_batch_mesh(axis_name: str = BATCH_AXIS):

@@ -64,7 +64,10 @@ def _sharded(
         local,
         mesh=mesh,
         in_specs=_specs(mesh, axis, n_in),
-        out_specs=(P(axis), api.SolveStats(P(axis), P(axis), P(axis), P(axis))),
+        out_specs=(
+            P(axis),
+            api.SolveStats(*([P(axis)] * len(api.SolveStats._fields))),
+        ),
         check_vma=False,
     )
 

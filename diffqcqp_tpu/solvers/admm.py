@@ -67,6 +67,7 @@ class ADMMState(NamedTuple):
     rho_up: Array        # (B,) int32: last rho direction (+1/-1/0)
     cpt: Array           # (B,) int32: trigger counter (Solver.cpp:93 cpt%5)
     converged: Array     # (B,) bool
+    stalled: Array       # (B,) bool (see SolveStats.stalled)
     iters: Array         # (B,) int32: per-problem iterations actually run
     res_prim: Array      # (B,) last primal residual
     res_dual: Array      # (B,) last dual residual
@@ -81,6 +82,11 @@ class SolveStats(NamedTuple):
     res_prim: Array      # (B,)
     res_dual: Array      # (B,)
     converged: Array     # (B,) bool
+    stalled: Array       # (B,) bool: converged only via the machine-precision
+                         # stall test (cfg.stall_tol), NOT eps-certified - the
+                         # iterate hit the working dtype's noise floor above
+                         # the requested eps. Always False when converged via
+                         # res_dual < eps or when stall_tol == 0.
 
 
 def _initial_state(
@@ -109,6 +115,7 @@ def _initial_state(
         rho_up=jnp.zeros((B,), jnp.int32),
         cpt=jnp.zeros((B,), jnp.int32),
         converged=jnp.zeros((B,), bool),
+        stalled=jnp.zeros((B,), bool),
         iters=jnp.zeros((B,), jnp.int32),
         res_prim=jnp.full((B,), jnp.inf, dtype),
         res_dual=jnp.full((B,), jnp.inf, dtype),
@@ -171,16 +178,17 @@ def admm_solve(
         res_dual = s.rho * delta
         res_prim = linf_norm(l2 - r)
 
-        dual_ok = res_dual < eps
+        eps_ok = res_dual < eps
         if cfg.stall_tol > 0.0:
             # machine-precision stall: the iterate cannot move below the
             # working dtype's fixed-point noise floor (see SolverConfig).
             floor = cfg.stall_tol * jnp.finfo(dtype).eps
-            dual_ok = dual_ok | (delta <= floor * jnp.maximum(1.0, linf_norm(l2)))
+            dual_ok = eps_ok | (delta <= floor * jnp.maximum(1.0, linf_norm(l2)))
+        else:
+            dual_ok = eps_ok
         if qcqp_stopping:
-            newly = (res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)) & (
-                dual_ok
-            )
+            prim_ok = res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)
+            newly = prim_ok & dual_ok
         else:
             newly = dual_ok
 
@@ -224,6 +232,8 @@ def admm_solve(
         res_prim = jnp.where(active, res_prim, s.res_prim)
         res_dual = jnp.where(active, res_dual, s.res_dual)
         converged = s.converged | (active & newly)
+        # eps-certified vs noise-floor stall (SolveStats.stalled)
+        stalled = s.stalled | (active & newly & ~eps_ok)
         iters = s.iters + active.astype(jnp.int32)
 
         local_done = jnp.all(converged)
@@ -239,7 +249,7 @@ def admm_solve(
             l=l, l2=l2, u=u, q_prox=q_prox,
             rho=rho, tau_inc=tau_inc, tau_dec=tau_dec,
             rho_up=rho_up, cpt=cpt,
-            converged=converged, iters=iters,
+            converged=converged, stalled=stalled, iters=iters,
             res_prim=res_prim, res_dual=res_dual,
             all_done=all_done,
         )
@@ -250,5 +260,6 @@ def admm_solve(
         res_prim=final.res_prim,
         res_dual=final.res_dual,
         converged=final.converged,
+        stalled=final.stalled,
     )
     return final.l2, stats

@@ -60,5 +60,6 @@ def solve_resumed(
             res_prim=jnp.where(unconv, st.res_prim, stats.res_prim),
             res_dual=jnp.where(unconv, st.res_dual, stats.res_dual),
             converged=stats.converged | st.converged,
+            stalled=jnp.where(unconv, st.stalled, stats.stalled),
         )
     return l, stats

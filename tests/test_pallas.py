@@ -6,6 +6,7 @@ against closed forms, KKT residuals, the NumPy recipe and the native C++
 solver, making it the oracle here.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -103,11 +104,39 @@ def test_pallas_odd_n_padding():
     assert bool(np.all(np.array(s_pal.converged)))
 
 
-def test_pallas_backend_flag_on_cpu_interpreted(prob):
-    """cfg.backend='pallas' forces the kernel path (interpret only works via
-    direct call; through the API on CPU this exercises the non-interpret
-    lowering path of pallas on CPU backend, which jax supports)."""
+def test_pallas_backend_flag_forces_kernel_path(prob):
+    """cfg.backend='pallas' must route the PUBLIC API through the fused
+    kernel (off-TPU it auto-runs in interpret mode) and match the XLA
+    engine, forward and backward."""
     rng, P, q, ws = prob
-    cfg = CFG.replace(backend="xla")
-    l_x = dq.solve_qp(P, q, config=cfg)
-    assert l_x.shape == q.shape
+    l_x, s_x = dq.solve_qp_with_stats(P, q, config=CFG.replace(backend="xla"))
+    l_p, s_p = dq.solve_qp_with_stats(P, q, config=CFG.replace(backend="pallas"))
+    np.testing.assert_allclose(np.array(l_p), np.array(l_x), atol=2e-5)
+    assert bool(np.all(np.array(s_p.converged)))
+    # the kernel path computes in f32 with power-iteration L: its iteration
+    # counts are the kernel's own (equal +-1 here), not the XLA engine's
+    assert abs(int(s_p.iterations.max()) - int(s_x.iterations.max())) <= 1
+
+    g_x = jax.grad(lambda P, q: jnp.sum(dq.solve_qp(P, q, config=CFG.replace(backend="xla")) ** 2), argnums=(0, 1))(P, q)
+    g_p = jax.grad(lambda P, q: jnp.sum(dq.solve_qp(P, q, config=CFG.replace(backend="pallas")) ** 2), argnums=(0, 1))(P, q)
+    np.testing.assert_allclose(np.array(g_p[0]), np.array(g_x[0]), atol=5e-4)
+    np.testing.assert_allclose(np.array(g_p[1]), np.array(g_x[1]), atol=5e-4)
+
+
+def test_pallas_stalled_flag(prob):
+    """f32 problems asked for an unreachable eps must converge via the stall
+    test and be flagged stalled (never silently capped)."""
+    rng, P, q, ws = prob
+    cfg = CFG.replace(eps=1e-12, max_iter=4000)
+    l_pal, s_pal = admm_solve_pallas(
+        P, q, ws, PROX_NONNEG, (), cfg, interpret=True, tile_b=128
+    )
+    assert bool(np.all(np.array(s_pal.converged)))
+    assert bool(np.any(np.array(s_pal.stalled)))
+    # eps-certified convergence must NOT be flagged stalled
+    _, s_easy = admm_solve_pallas(
+        P, q, ws, PROX_NONNEG, (), CFG, interpret=True, tile_b=128
+    )
+    stalled = np.array(s_easy.stalled)
+    certified = np.array(s_easy.res_dual) < CFG.eps
+    assert not np.any(stalled & certified)

@@ -1,0 +1,97 @@
+"""KKT-residual verification oracle (diffqcqp_tpu/verify.py).
+
+The verifier is itself validated here: near-zero residuals on converged
+solves of all four problem classes, large residuals on corrupted solutions,
+and the underlying refine_solve least-squares recovery against
+numpy.linalg.lstsq on the masked selector systems it is reserved for.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import diffqcqp_tpu as dq
+from diffqcqp_tpu import verify
+from diffqcqp_tpu.ops.linalg import refine_solve
+
+CFG = dq.SolverConfig(eps=1e-11, max_iter=20000)
+QCFG = dq.QCQP_DEFAULTS.replace(eps=1e-9, max_iter=50000)
+
+
+def _qp_problem(rng, spd, b=12, n=8):
+    P = jnp.array(spd(rng, b, n))
+    q = jnp.array(rng.standard_normal((b, n)))
+    return P, q
+
+
+def test_verify_qp(rng, spd):
+    P, q = _qp_problem(rng, spd)
+    l = dq.solve_qp(P, q, config=CFG)
+    r = verify.check_qp(P, q, l)
+    assert float(jnp.max(r.stationarity)) < 1e-7
+    assert float(jnp.max(r.primal)) < 1e-10
+    assert float(jnp.max(r.complementarity)) < 1e-7
+    assert float(jnp.max(r.dual)) < 1e-7
+
+
+def test_verify_box(rng, spd):
+    P, q = _qp_problem(rng, spd)
+    lo = jnp.array(-(rng.random(q.shape) * 0.5 + 0.1))
+    hi = jnp.array(rng.random(q.shape) * 0.5 + 0.1)
+    l = dq.solve_box_qp(P, q, lo, hi, config=CFG)
+    r = verify.check_box_qp(P, q, lo, hi, l)
+    assert float(jnp.max(r.stationarity)) < 1e-7
+    assert float(jnp.max(r.primal)) < 1e-10
+    assert float(jnp.max(r.complementarity)) < 1e-7
+
+
+def test_verify_signed_box(rng, spd):
+    P, q = _qp_problem(rng, spd)
+    lo = jnp.array(-(rng.random(q.shape) * 0.5 + 0.1))
+    hi = jnp.array(rng.random(q.shape) * 0.5 + 0.1)
+    v = jnp.array(rng.standard_normal(q.shape))
+    l = dq.solve_signed_box_qp(P, q, lo, hi, v, config=CFG)
+    r = verify.check_signed_box_qp(P, q, lo, hi, v, l)
+    assert float(jnp.max(r.stationarity)) < 1e-7
+    assert float(jnp.max(r.primal)) < 1e-10
+    assert float(jnp.max(r.complementarity)) < 1e-7
+
+
+def test_verify_qcqp(rng, spd):
+    b, nc = 12, 4
+    P, q = _qp_problem(rng, spd, b=b, n=2 * nc)
+    l_n = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    mu = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    l = dq.solve_qcqp(P, q, l_n, mu, config=QCFG)
+    r = verify.check_qcqp(P, q, l_n, mu, l)
+    assert float(jnp.max(r.stationarity)) < 1e-6
+    assert float(jnp.max(r.primal)) < 1e-8
+    assert float(jnp.max(r.complementarity)) < 1e-6
+
+
+def test_verify_detects_corruption(rng, spd):
+    P, q = _qp_problem(rng, spd)
+    l = dq.solve_qp(P, q, config=CFG)
+    bad = l + 0.5
+    r = verify.check_qp(P, q, bad)
+    assert float(jnp.max(r.stationarity)) > 1e-2
+
+
+def test_refine_solve_matches_lstsq_on_selector_system(rng):
+    """refine_solve on the masked-selector least-squares systems it is
+    reserved for (near-diagonal normal matrix): matches numpy's lstsq."""
+    b, n, m = 6, 8, 16
+    A = np.zeros((b, n, m))
+    for i in range(b):
+        for r in range(n):
+            # at most one active selector column per row (disjoint support,
+            # the regime verify.py uses refine_solve in): lower, upper or none
+            pick = rng.integers(0, 3)
+            if pick == 0:
+                A[i, r, r] = 1.0
+            elif pick == 1:
+                A[i, r, n + r] = -1.0
+    rhs = rng.standard_normal((b, n))
+    x = np.array(refine_solve(jnp.array(A), jnp.array(rhs), mu_ir=1e-12, iters=5))
+    for i in range(b):
+        expect, *_ = np.linalg.lstsq(A[i], rhs[i], rcond=None)
+        np.testing.assert_allclose(x[i], expect, atol=1e-8)
