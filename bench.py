@@ -34,7 +34,7 @@ def _build_problems(b, nc, dtype, seed=0):
     return P, q, l_n, mu
 
 
-def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=5):
+def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=40):
     import jax
     import jax.numpy as jnp
 
@@ -43,10 +43,14 @@ def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=5):
     # Tuning knobs (see SolverConfig): rho0_scale x3 cuts mean iterations
     # ~30% on this problem distribution with identical solutions (verified
     # against rho0_scale=1.0 to ~1e-5 and against the native f64 oracle);
-    # 20 power-iteration steps estimate L as well as the reference's 100
-    # (iteration counts measurably identical) at ~1.5 ms less setup.
+    # 10 power-iteration steps estimate L as well as the reference's 100
+    # (iteration counts measurably identical, 14.61 vs 14.58 mean);
+    # rho_update_period=8 spaces the tile-wide Cholesky refactorisations
+    # (~3 iterations' cost each) with measurably identical iteration counts.
+    # All three shape the trajectory, not the fixed point.
     cfg = QCQP_DEFAULTS.replace(
-        eps=eps, max_iter=max_iter, rho0_scale=3.0, power_iters=20
+        eps=eps, max_iter=max_iter, rho0_scale=3.0, power_iters=10,
+        rho_update_period=8,
     )
     P, q, l_n, mu = _build_problems(b, nc, np.float32)
     P, q, l_n, mu = map(jnp.asarray, (P, q, l_n, mu))
@@ -59,20 +63,32 @@ def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=5):
     # whose per-call latency and result caching make per-dispatch host-side
     # timing unreliable. The repeat loop therefore runs ON DEVICE inside one
     # jitted call, with the problem data perturbed per repetition so no two
-    # solves are identical, and the scalar result is read back.
-    @jax.jit
-    def fwd_bwd_loop(P, q, l_n, mu):
-        def body(k, acc):
-            v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
-                P, q + 1e-5 * k, l_n, mu
-            )
-            return acc + v + g[0][0, 0, 0] + jnp.sum(g[2][0])
-        return jax.lax.fori_loop(0, reps, body, 0.0)
+    # solves are identical, and the scalar result is read back. The one-off
+    # dispatch + readback latency of the tunnel (measured ~25 ms, i.e. many
+    # times the step itself) is removed by differencing a reps-step loop
+    # against a 1-step loop - the steady-state per-step time is what a
+    # training loop actually pays.
+    def make_loop(r):
+        @jax.jit
+        def fwd_bwd_loop(P, q, l_n, mu):
+            def body(k, acc):
+                v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                    P, q + 1e-5 * k, l_n, mu
+                )
+                return acc + v + g[0][0, 0, 0] + jnp.sum(g[2][0])
+            return jax.lax.fori_loop(0, r, body, 0.0)
+        return fwd_bwd_loop
 
-    _ = float(fwd_bwd_loop(P, q, l_n, mu))  # compile + warm
+    big, one = make_loop(reps), make_loop(1)
+    _ = float(big(P, q, l_n, mu))   # compile + warm
+    _ = float(one(P, q, l_n, mu))
     t0 = time.perf_counter()
-    _ = float(fwd_bwd_loop(P, q, l_n, mu))
-    dt = (time.perf_counter() - t0) / reps
+    _ = float(big(P, q, l_n, mu))
+    t_big = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(one(P, q, l_n, mu))
+    t_one = time.perf_counter() - t0
+    dt = max(t_big - t_one, 1e-9) / (reps - 1)
 
     _, stats = jax.jit(lambda *a: solve_qcqp_with_stats(*a, config=cfg))(
         P, q, l_n, mu

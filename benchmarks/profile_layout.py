@@ -15,11 +15,13 @@ followed by a scalar readback; the one-dispatch overhead is removed by
 differencing a reps=R loop against a reps=1 loop. Run on an idle host.
 """
 
-import functools
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 
 import jax
 import jax.numpy as jnp

@@ -27,6 +27,7 @@ from .api import (
     solve_qp_with_stats,
     solve_signed_box_qp,
     solve_signed_box_qp_with_stats,
+    which_backend,
 )
 from .config import QCQP_DEFAULTS, QP_DEFAULTS
 
@@ -38,6 +39,7 @@ __all__ = [
     "QP_DEFAULTS",
     "QCQP_DEFAULTS",
     "solve_qp",
+    "which_backend",
     "solve_box_qp",
     "solve_signed_box_qp",
     "solve_qcqp",

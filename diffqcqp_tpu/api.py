@@ -47,6 +47,7 @@ __all__ = [
     "solve_box_qp_with_stats",
     "solve_signed_box_qp_with_stats",
     "solve_qcqp_with_stats",
+    "which_backend",
     "SolveStats",
     "SolverConfig",
 ]
@@ -96,22 +97,44 @@ def _grad_P(dl: Array, l: Array, P: Array) -> Array:
 
 
 def _use_pallas(P, q, cfg: SolverConfig) -> bool:
-    """Dispatch: the fused pallas kernel handles dense float32 problems with
-    N <= 32 on TPU; everything else goes through the XLA engine. The pallas
-    path always estimates L by power iteration (reference semantics) and is
-    per-tile rather than globally synchronised, so it is not used when a
-    cross-shard axis_name is set (the XLA engine's pmin handles that)."""
+    """Dispatch: the fused pallas kernel handles dense float32 problems on
+    TPU up to N <= 48 automatically; everything else goes through the XLA
+    engine. N in (48, 64] works via an explicit ``backend='pallas'`` (the
+    lane tile auto-shrinks to VMEM) but is not the default because the
+    unrolled kernel's Mosaic compile time grows steeply (measured one-off:
+    ~10 s at N=24, ~73 s at N=48, ~213 s at N=64). Use ``which_backend`` to
+    inspect the decision. The pallas path always estimates L by power
+    iteration (reference semantics) and is per-tile rather than globally
+    synchronised, so it is not used when a cross-shard axis_name is set
+    (the XLA engine's pmin handles that)."""
     if cfg.backend == "pallas":
         return True
     if cfg.backend != "auto":
         return False
     return (
         P.ndim == 3
-        and P.shape[-1] <= 32
+        and P.shape[-1] <= 48
         and q.dtype == jnp.float32
         and cfg.axis_name is None
         and jax.default_backend() == "tpu"
     )
+
+
+def which_backend(P, q, config: Optional[SolverConfig] = None) -> str:
+    """Report which forward engine a solve with these inputs would use:
+    'pallas' (the fused single-kernel TPU path) or 'xla' (the spectral
+    shifted-solve engine).
+
+    The auto dispatch is shape/dtype/backend dependent (see ``_use_pallas``);
+    a dense N=40 float32 batch on TPU, for example, silently exceeds the
+    kernel's N <= 32 bound and falls back to the XLA engine whose eigh setup
+    dominates at large batch - this helper makes the cliff inspectable:
+
+        >>> which_backend(P, q)          # 'pallas' or 'xla'
+    """
+    cfg = config if config is not None else QP_DEFAULTS
+    c = canon_problem(P, q)
+    return "pallas" if _use_pallas(c.P, c.q, cfg) else "xla"
 
 
 # --------------------------------------------------------------------------

@@ -55,6 +55,25 @@ from jax import Array
 from ..config import SolverConfig
 
 
+def _use_fused_kernel(P: Array, l: Array, cfg: SolverConfig) -> bool:
+    """Dispatch to the fused single-kernel backwards (coord_bwd_pallas /
+    qcqp_bwd_pallas): dense f32 problems on TPU, or backend='pallas'
+    anywhere (off-TPU the kernels auto-run in interpret mode). The wrappers
+    scale their lane tile to VMEM (kernels/layout.py::vmem_tile_b), so n is
+    bounded only by what fits - n <= 64 keeps two (n, n, 128) buffers
+    comfortably resident."""
+    if P.ndim != 3:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return (
+        cfg.backend == "auto"
+        and l.dtype == jnp.float32
+        and l.shape[-1] <= 64
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
     """Solve A x = rhs batched; A (B, m, m), rhs (B, m).
 
@@ -119,6 +138,16 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     block is decoupled either way and solves to exactly zero, but the unit
     diagonal keeps the direct solve well conditioned).
     """
+    if _use_fused_kernel(P, l, cfg):
+        # one fused kernel: dual recovery + masked SPD Cholesky solve
+        # (kernels/coord_bwd_pallas.py; parity: tests/test_coord_bwd_kernel)
+        from ..kernels.coord_bwd_pallas import KIND_QP, coord_kkt_bwd_fused
+
+        (dl,) = coord_kkt_bwd_fused(
+            P, q, l, g, None, None, None, KIND_QP,
+            eps=cfg.eps, act_eps=cfg.act_eps, tile_b=cfg.pallas_tile_b,
+        )
+        return dl
     gamma = qp_dual(P, q, l, cfg)
     active = gamma < -cfg.act_eps
     free = ~active
@@ -224,6 +253,14 @@ def box_vjp(
     only if primal-active AND gamma > act_eps (strict complementarity);
     other slots are decoupled identity rows solving to zero.
     """
+    if duals is None and _use_fused_kernel(P, l, cfg):
+        from ..kernels.coord_bwd_pallas import KIND_BOX, coord_kkt_bwd_fused
+
+        dl, dgamma, gamma = coord_kkt_bwd_fused(
+            P, q, l, g, l_min, l_max, None, KIND_BOX,
+            eps=cfg.eps, act_eps=cfg.act_eps, tile_b=cfg.pallas_tile_b,
+        )
+        return BoxVJP(dl=dl, dgamma=dgamma, gamma=gamma)
     if duals is None:
         duals = box_dual(P, q, l_min, l_max, l, cfg)
     n = l.shape[-1]
@@ -335,6 +372,17 @@ def signed_box_vjp(
     sign constraint (qcqp.py:111-137, comment "npt implemented"). Here the
     third constraint block v_i l_i <= 0 enters the system like any other;
     gradients are validated against finite differences."""
+    if _use_fused_kernel(P, l, cfg):
+        from ..kernels.coord_bwd_pallas import (
+            KIND_SIGNED_BOX,
+            coord_kkt_bwd_fused,
+        )
+
+        dl, dgamma, gamma = coord_kkt_bwd_fused(
+            P, q, l, g, l_min, l_max, jnp.sign(v), KIND_SIGNED_BOX,
+            eps=cfg.eps, act_eps=cfg.act_eps, tile_b=cfg.pallas_tile_b,
+        )
+        return SignedBoxVJP(dl=dl, dgamma=dgamma, gamma=gamma)
     duals = signed_box_dual(P, q, l_min, l_max, v, l, cfg)
     v_sign = jnp.sign(v)
     n = l.shape[-1]
@@ -440,20 +488,7 @@ def qcqp_vjp(
     B_, n = l.shape
     nc = radius.shape[-1]
 
-    use_schur = (
-        duals is None
-        and P.ndim == 3
-        and (
-            cfg.backend == "pallas"
-            or (
-                cfg.backend == "auto"
-                and l.dtype == jnp.float32
-                and n <= 64
-                and jax.default_backend() == "tpu"
-            )
-        )
-    )
-    if use_schur:
+    if duals is None and _use_fused_kernel(P, l, cfg):
         # One fused kernel: dual recovery + Schur-complement adjoint solve
         # (one SPD Cholesky of D + an nc x nc system, no (B, nc+n, nc+n)
         # assembly and no separate Pl+q pass; kernels/qcqp_bwd_pallas.py).
@@ -463,6 +498,7 @@ def qcqp_vjp(
             P, q, l, g, radius,
             eps=cfg.eps, act_eps=cfg.act_eps,
             stall_ulps=8.0 * float(jnp.finfo(jnp.float32).eps),
+            tile_b=cfg.pallas_tile_b,
         )
         return QCQPVJP(dl=dl, dgamma=dgamma, gamma=gamma)
 

@@ -50,17 +50,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SolverConfig
 from ..solvers.admm import SolveStats
+from .layout import LANES as _LANES
+from .layout import round_up as _round_up
+from .layout import vmem_tile_b
 
 PROX_NONNEG = 0
 PROX_BOX = 1
 PROX_SIGNED_BOX = 2
 PROX_DISK = 3
-
-_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _admm_chol_kernel(
@@ -114,7 +111,16 @@ def _admm_chol_kernel(
     tau0 = jnp.power(ratio, f32(0.15))
 
     def factorize(shift):
-        """lc_ref <- chol(P + diag(shift)), shift (1, tb), per lane."""
+        """lc_ref <- chol(P + diag(shift)), shift (1, tb), per lane.
+
+        Left-looking, n^2/2 small (n, tb) ops. Measured notes: a tile-wide
+        refactorisation costs ~3 ADMM iterations at the flagship shape and
+        is op-LATENCY bound; a right-looking variant with one 3-D
+        trailing-panel broadcast per column was tried and lowered ~60%
+        SLOWER through Mosaic (3-D ref-slice updates do not vectorise
+        well), so the simple form stays. The rho_sync it>0 throttle keeps
+        refactorisations to ~2 per solve instead.
+        """
         for j in range(n):
             ej = (row_idx == j).astype(f32)
             s = p_ref[:, j, :] + ej * shift
@@ -226,8 +232,12 @@ def _admm_chol_kernel(
             if cfg.rho_sync:
                 # batch-synchronous throttle (cfg.rho_sync): refactorisations
                 # land on shared iterations instead of firing tile-wide nearly
-                # every step from per-lane staggering.
-                period_ok = ((it % cfg.rho_update_period) == 0).astype(f32)
+                # every step from per-lane staggering. it=0 excluded (rho0
+                # was applied this very iteration; a tile-wide refactor costs
+                # ~3 iterations) - mirrored in solvers/admm.py for parity.
+                period_ok = (
+                    ((it % cfg.rho_update_period) == 0) & (it > 0)
+                ).astype(f32)
                 apply = fire * period_ok
             else:
                 period_ok = (
@@ -338,9 +348,11 @@ def admm_solve_pallas(
         q_k = q
         ws_k = warm_start
 
-    tb = min(tile_b, _round_up(B, _LANES))
-    Bp = _round_up(B, tb)
     n_pad = _round_up(n, 8)
+    # VMEM residents: P input block (double-buffered) + lc scratch; the
+    # measured failure point was n_pad=24, tile_b=2048 ("20.53M > 16.00M").
+    tb = vmem_tile_b(n_pad, min(tile_b, _round_up(B, _LANES)))
+    Bp = _round_up(B, tb)
     pad_b = Bp - B
     pad_n = n_pad - n
 

@@ -31,16 +31,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .layout import LANES as _LANES
+from .layout import pack_P, pack_vec, qcqp_perm, vmem_tile_b
+from .layout import round_up as _round_up
 
 
 def _qcqp_bwd_kernel(
@@ -284,33 +281,24 @@ def qcqp_kkt_bwd_fused(
     f32 = jnp.float32
     orig = l.dtype
 
-    perm = np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1])
-    inv = np.argsort(perm)
-    Pp = P[:, perm][:, :, perm]
-    lp = l[:, perm]
-    gp = g[:, perm]
-    qp = q[:, perm]
+    perm, inv = qcqp_perm(n)
 
-    tb = min(tile_b, _round_up(B, _LANES))
-    Bp = _round_up(B, tb)
     n_pad = _round_up(n, 8)
     nc_pad = _round_up(nc, 8)
-    pad_b, pad_n, pad_c = Bp - B, n_pad - n, nc_pad - nc
+    # VMEM residents: P block (double-buffered input) + lc scratch +
+    # w (n, nc_pad+8, tb) + m (nc_pad^2, tb) -> ~4 matrix-equivalents.
+    tb = vmem_tile_b(
+        n_pad, min(tile_b, _round_up(B, _LANES)), matrix_bufs=4.0
+    )
+    Bp = _round_up(B, tb)
 
-    P_k = jnp.pad(Pp.astype(f32), ((0, pad_b), (0, pad_n), (0, pad_n)))
-    if pad_n:
-        fix = np.zeros((n_pad, n_pad), np.float32)
-        fix[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
-        P_k = P_k + jnp.asarray(fix)[None]
-    if pad_b:
-        P_k = P_k.at[B:, :n, :n].set(jnp.eye(n, dtype=f32)[None])
-    P_k = jnp.transpose(P_k, (1, 2, 0))
+    P_k = pack_P(P, n_pad, Bp, perm=perm)
 
     def vec_n(x):
-        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_n))).T
+        return pack_vec(x[:, perm], n_pad, Bp)
 
     def vec_c(x):
-        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_c))).T
+        return pack_vec(x, nc_pad, Bp)
 
     grid = (Bp // tb,)
     nvec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -337,7 +325,7 @@ def qcqp_kkt_bwd_fused(
             pltpu.VMEM((nc_pad, nc_pad, tb), f32),
         ],
         interpret=interpret,
-    )(P_k, vec_n(qp), vec_n(lp), vec_n(gp), vec_c(radius))
+    )(P_k, vec_n(q), vec_n(l), vec_n(g), vec_c(radius))
 
     dgamma = dgam_k.T[:B, :nc].astype(orig)
     dl = dl_k.T[:B, :n][:, inv].astype(orig)
@@ -366,32 +354,22 @@ def qcqp_kkt_bwd_pallas(
     orig = l.dtype
 
     # permute coordinates: reference (2i, 2i+1) -> kernel (i, nc+i)
-    perm = np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1])
-    inv = np.argsort(np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1]))
-    Pp = P[:, perm][:, :, perm]
-    lp = l[:, perm]
-    gp = g[:, perm]
+    perm, inv = qcqp_perm(n)
 
-    tb = min(tile_b, _round_up(B, _LANES))
-    Bp = _round_up(B, tb)
     n_pad = _round_up(n, 8)
     nc_pad = _round_up(nc, 8)
-    pad_b, pad_n, pad_c = Bp - B, n_pad - n, nc_pad - nc
+    tb = vmem_tile_b(
+        n_pad, min(tile_b, _round_up(B, _LANES)), matrix_bufs=4.0
+    )
+    Bp = _round_up(B, tb)
 
-    P_k = jnp.pad(Pp.astype(f32), ((0, pad_b), (0, pad_n), (0, pad_n)))
-    if pad_n:
-        fix = np.zeros((n_pad, n_pad), np.float32)
-        fix[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
-        P_k = P_k + jnp.asarray(fix)[None]
-    if pad_b:
-        P_k = P_k.at[B:, :n, :n].set(jnp.eye(n, dtype=f32)[None])
-    P_k = jnp.transpose(P_k, (1, 2, 0))
+    P_k = pack_P(P, n_pad, Bp, perm=perm)
 
     def vec_n(x):
-        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_n))).T
+        return pack_vec(x[:, perm], n_pad, Bp)
 
     def vec_c(x):
-        return jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_c))).T
+        return pack_vec(x, nc_pad, Bp)
 
     grid = (Bp // tb,)
     nvec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -416,7 +394,7 @@ def qcqp_kkt_bwd_pallas(
             pltpu.VMEM((nc_pad, nc_pad, tb), f32),
         ],
         interpret=interpret,
-    )(P_k, vec_n(lp), vec_n(gp), vec_c(gamma), vec_c(s), vec_c(active.astype(f32)))
+    )(P_k, vec_n(l), vec_n(g), vec_c(gamma), vec_c(s), vec_c(active.astype(f32)))
 
     dgamma = dgam_k.T[:B, :nc].astype(orig)
     dl = dl_k.T[:B, :n][:, inv].astype(orig)

@@ -8,6 +8,7 @@ from .sharding import (
     make_batch_mesh,
     shard_batch,
     solve_box_qp_sharded,
+    solve_signed_box_qp_sharded,
     solve_qcqp_sharded,
     solve_qp_sharded,
 )

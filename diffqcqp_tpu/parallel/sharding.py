@@ -107,6 +107,22 @@ def solve_box_qp_sharded(
     return fn(P_mat, q, l_min, l_max, ws)
 
 
+def solve_signed_box_qp_sharded(
+    P_mat, q, l_min, l_max, v, warm_start=None, *,
+    mesh: Optional[Mesh] = None, config: Optional[SolverConfig] = None,
+    axis_name: str = BATCH_AXIS, lockstep: bool = False,
+):
+    mesh = mesh if mesh is not None else make_batch_mesh(axis_name=axis_name)
+    cfg = config if config is not None else api.SolverConfig()
+    import jax.numpy as jnp
+
+    ws = jnp.zeros_like(q) if warm_start is None else warm_start
+    fn = _sharded(
+        api.solve_signed_box_qp_with_stats, 6, mesh, axis_name, cfg, lockstep
+    )
+    return fn(P_mat, q, l_min, l_max, v, ws)
+
+
 def solve_qcqp_sharded(
     P_mat, q, l_n, mu, warm_start=None, *,
     mesh: Optional[Mesh] = None, config: Optional[SolverConfig] = None,

@@ -202,8 +202,11 @@ def admm_solve(
             fire = inc | dec
             if cfg.rho_sync:
                 # batch-synchronous throttle (cfg.rho_sync): same limit point,
-                # and on TPU all refactorisations share an iteration.
-                apply = fire & (s.it % cfg.rho_update_period == 0)
+                # and on TPU all refactorisations share an iteration. it=0 is
+                # excluded - rho0 was applied that very iteration, and on the
+                # fused kernel every rho change is a tile-wide refactorisation
+                # (~3 iterations' cost at the flagship shape).
+                apply = fire & (s.it % cfg.rho_update_period == 0) & (s.it > 0)
             else:
                 apply = fire & (s.cpt % cfg.rho_update_period == 0)
             app_inc = apply & inc

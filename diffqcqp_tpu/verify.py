@@ -73,9 +73,14 @@ def _prep(P, q, l, tol_act: Optional[float], mu_ir, iters, dtype):
     c = canon_problem(P, q)
     P_, q_ = c.P.astype(dtype), c.q.astype(dtype)
     l_ = jnp.asarray(l)
-    l_ = (l_.reshape(q_.shape) if l_.size == q_.size else l_).astype(dtype)
     if tol_act is None:
-        tol_act = 100.0 * float(jnp.finfo(dtype).eps)
+        # activity detection must be robust at the SOLUTION's precision: an
+        # f32 solve leaves binding constraints ~eps_f32-scale off the
+        # boundary, and a tolerance at the (f64) verification dtype would
+        # classify them inactive, zero their multipliers and report the full
+        # stationarity residual as an error.
+        tol_act = 100.0 * float(jnp.finfo(l_.dtype).eps)
+    l_ = (l_.reshape(q_.shape) if l_.size == q_.size else l_).astype(dtype)
     return c, P_, q_, l_, tol_act
 
 

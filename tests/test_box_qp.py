@@ -28,7 +28,10 @@ def test_box_matches_reference_recipe(rng, spd):
     q = rng.standard_normal((b, n))
     lo = -(rng.random((b, n)) * 0.5 + 1.0)
     hi = rng.random((b, n)) * 0.5 + 1.0
-    cfg = CFG.replace(lmax_method="power", power_iters=10)
+    # rho_sync=False reproduces the reference's exact per-problem staggered
+    # rho schedule (Solver.cpp:93), so the trajectories - not just the fixed
+    # points - coincide and the comparison is tight.
+    cfg = CFG.replace(lmax_method="power", power_iters=10, rho_sync=False)
     l = np.array(
         dq.solve_box_qp(jnp.array(P), jnp.array(q), jnp.array(lo), jnp.array(hi), config=cfg)
     )
@@ -88,7 +91,7 @@ def test_signed_box_matches_reference_recipe(rng, spd):
     lo = -(rng.random((b, n)) * 0.5 + 1.0)
     hi = rng.random((b, n)) * 0.5 + 1.0
     v = rng.standard_normal((b, n))
-    cfg = CFG.replace(lmax_method="power", power_iters=10)
+    cfg = CFG.replace(lmax_method="power", power_iters=10, rho_sync=False)
     l = np.array(
         dq.solve_signed_box_qp(
             jnp.array(P), jnp.array(q), jnp.array(lo), jnp.array(hi), jnp.array(v), config=cfg

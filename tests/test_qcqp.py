@@ -36,7 +36,7 @@ def test_qcqp_matches_reference_recipe(rng, spd):
     q = rng.standard_normal((b, n))
     l_n = rng.random((b, nc))
     mu = rng.random((b, nc))
-    cfg = CFG.replace(lmax_method="power")
+    cfg = CFG.replace(lmax_method="power", rho_sync=False)
     l = np.array(
         dq.solve_qcqp(jnp.array(P), jnp.array(q), jnp.array(l_n), jnp.array(mu), config=cfg)
     )

@@ -52,7 +52,7 @@ def test_qp_matches_reference_recipe(rng, spd):
     b, n = 6, 8
     P = spd(rng, b, n)
     q = rng.standard_normal((b, n))
-    cfg = CFG.replace(lmax_method="power", power_iters=10)
+    cfg = CFG.replace(lmax_method="power", power_iters=10, rho_sync=False)
     l = np.array(dq.solve_qp(jnp.array(P), jnp.array(q), config=cfg))
     for i in range(b):
         l_ref, _, _, _ = ref.solve_qp(P[i], q[i], eps=1e-10, max_iter=5000)

