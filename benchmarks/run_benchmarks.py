@@ -110,6 +110,10 @@ def config1(reps):
     def loss(P, q):
         return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
 
+    # B=10 steps are microseconds: scale the on-device repeat count up so
+    # the differenced loop time sits far above host-timer resolution.
+    reps = max(reps, 500)
+
     def make_loop(r):
         @jax.jit
         def loop(P, q):

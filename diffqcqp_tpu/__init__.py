@@ -30,6 +30,7 @@ from .api import (
     which_backend,
 )
 from .config import QCQP_DEFAULTS, QP_DEFAULTS
+from .utils.cache import enable_compilation_cache
 
 __version__ = "0.1.0"
 
@@ -40,6 +41,7 @@ __all__ = [
     "QCQP_DEFAULTS",
     "solve_qp",
     "which_backend",
+    "enable_compilation_cache",
     "solve_box_qp",
     "solve_signed_box_qp",
     "solve_qcqp",

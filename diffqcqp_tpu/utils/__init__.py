@@ -1,1 +1,2 @@
+from .cache import enable_compilation_cache
 from .shapes import Canon, canon_like, canon_problem

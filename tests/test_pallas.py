@@ -123,6 +123,27 @@ def test_pallas_backend_flag_forces_kernel_path(prob):
     np.testing.assert_allclose(np.array(g_p[1]), np.array(g_x[1]), atol=5e-4)
 
 
+def test_pallas_staggered_schedule_parity(prob):
+    """rho_sync=False (the reference's exact per-problem cpt%5 throttle)
+    through the kernel: per-problem refactorisations must track the XLA
+    engine's staggered schedule, not just reach the same fixed point."""
+    rng, P, q, ws = prob
+    cfg = CFG.replace(rho_sync=False)
+    l_ref, s_ref = admm_solve(P, q, ws, prox_nonneg, cfg)
+    l_pal, s_pal = admm_solve_pallas(
+        P, q, ws, PROX_NONNEG, (), cfg, interpret=True, tile_b=128
+    )
+    np.testing.assert_allclose(np.array(l_pal), np.array(l_ref), atol=5e-5)
+    assert bool(np.all(np.array(s_pal.converged)))
+    # per-problem iteration counts track within the +-1 that differing f32
+    # op orderings can flip at the convergence test; a schedule mismatch
+    # (e.g. rho_sync accidentally applied) diverges by many iterations
+    diff = np.abs(
+        np.array(s_pal.iterations) - np.array(s_ref.iterations)
+    )
+    assert int(diff.max()) <= 1, diff
+
+
 def test_which_backend_reports_dispatch():
     """The N-cliff of the fused forward kernel must be inspectable
     (VERDICT round-1 weak item 8): which_backend reports the engine the
