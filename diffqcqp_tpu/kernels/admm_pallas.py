@@ -133,7 +133,13 @@ def _admm_chol_kernel(
             lc_ref[:, j, :] = col * mask
 
     def solve_normal(rhs):
-        """x = (L L^T)^{-1} rhs via two unrolled triangular sweeps."""
+        """x = (L L^T)^{-1} rhs via two unrolled triangular sweeps.
+
+        (A block-of-4 variant - in-block solve on (1, tb) row slices, one
+        set of four independent full-width FMAs per block - was measured
+        at 0.734 vs 0.740 ms whole-forward: no gain, so the simple
+        row-by-row form stays.)
+        """
         acc = rhs
         ys = []
         for i in range(n):
