@@ -137,7 +137,15 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     active-slot diagonal is 1 rather than the reference's l_act ~ 0: the
     block is decoupled either way and solves to exactly zero, but the unit
     diagonal keeps the direct solve well conditioned).
+
+    Diagonal P (the README-example representation): the masked system K is
+    itself diagonal, so the adjoint is closed-form elementwise - no dense
+    assembly, no linear solver, fully matrix-free end to end.
     """
+    if P.ndim == 2:
+        gamma = qp_dual(P, q, l, cfg)
+        fm = (gamma >= -cfg.act_eps).astype(l.dtype)
+        return fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
     if _use_fused_kernel(P, l, cfg):
         # one fused kernel: dual recovery + masked SPD Cholesky solve
         # (kernels/coord_bwd_pallas.py; parity: tests/test_coord_bwd_kernel)
@@ -253,6 +261,26 @@ def box_vjp(
     only if primal-active AND gamma > act_eps (strict complementarity);
     other slots are decoupled identity rows solving to zero.
     """
+    if duals is None and P.ndim == 2:
+        # Diagonal P: every constraint touches one coordinate and P couples
+        # none, so the whole adjoint is closed-form elementwise (see
+        # kernels/coord_bwd_pallas.py for the same decoupling argument).
+        duals_d = box_dual(P, q, l_min, l_max, l, cfg)
+        n_ = l.shape[-1]
+        g_lo, g_hi = duals_d.gamma[:, :n_], duals_d.gamma[:, n_:]
+        am_lo = (duals_d.act_lo & (g_lo > cfg.act_eps)).astype(l.dtype)
+        am_hi = (duals_d.act_hi & (g_hi > cfg.act_eps)).astype(l.dtype)
+        am = jnp.minimum(am_lo + am_hi, 1.0)
+        fm = 1.0 - am
+        dl = fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
+        resid = g * am                          # (P dl)_i = 0 on active coords
+        c_lo = -g_lo * am_lo
+        c_hi = g_hi * am_hi
+        den = jnp.maximum(c_lo * c_lo + c_hi * c_hi, jnp.finfo(l.dtype).tiny)
+        dgamma = jnp.concatenate(
+            [c_lo * resid / den, c_hi * resid / den], axis=-1
+        )
+        return BoxVJP(dl=dl, dgamma=dgamma, gamma=duals_d.gamma)
     if duals is None and _use_fused_kernel(P, l, cfg):
         from ..kernels.coord_bwd_pallas import KIND_BOX, coord_kkt_bwd_fused
 
@@ -372,6 +400,33 @@ def signed_box_vjp(
     sign constraint (qcqp.py:111-137, comment "npt implemented"). Here the
     third constraint block v_i l_i <= 0 enters the system like any other;
     gradients are validated against finite differences."""
+    if P.ndim == 2:
+        # Diagonal P: closed-form elementwise (see box_vjp's diagonal path).
+        duals_d = signed_box_dual(P, q, l_min, l_max, v, l, cfg)
+        v_sign_d = jnp.sign(v)
+        n_ = l.shape[-1]
+        g_lo = duals_d.gamma[:, :n_]
+        g_hi = duals_d.gamma[:, n_ : 2 * n_]
+        g_sg = duals_d.gamma[:, 2 * n_ :]
+        am_lo = (duals_d.act_lo & (g_lo > cfg.act_eps)).astype(l.dtype)
+        am_hi = (duals_d.act_hi & (g_hi > cfg.act_eps)).astype(l.dtype)
+        am_sg = (duals_d.act_sg & (g_sg > cfg.act_eps)).astype(l.dtype)
+        am = jnp.minimum(am_lo + am_hi + am_sg, 1.0)
+        fm = 1.0 - am
+        dl = fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
+        resid = g * am
+        c_lo = -g_lo * am_lo
+        c_hi = g_hi * am_hi
+        c_sg = v_sign_d * g_sg * am_sg
+        den = jnp.maximum(
+            c_lo * c_lo + c_hi * c_hi + c_sg * c_sg,
+            jnp.finfo(l.dtype).tiny,
+        )
+        dgamma = jnp.concatenate(
+            [c_lo * resid / den, c_hi * resid / den, c_sg * resid / den],
+            axis=-1,
+        )
+        return SignedBoxVJP(dl=dl, dgamma=dgamma, gamma=duals_d.gamma)
     if _use_fused_kernel(P, l, cfg):
         from ..kernels.coord_bwd_pallas import (
             KIND_SIGNED_BOX,
@@ -487,6 +542,31 @@ def qcqp_vjp(
     """
     B_, n = l.shape
     nc = radius.shape[-1]
+
+    if duals is None and P.ndim == 2:
+        # Diagonal P: D = diag(P) + 2 gamma I is diagonal and C's columns
+        # are disjoint per contact, so the Schur complement M is DIAGONAL
+        # and the whole adjoint is closed-form elementwise - no assembly,
+        # no solver (the diagonal analogue of qcqp_bwd_pallas.py's math).
+        duals_d = qcqp_dual(P, q, radius, l, cfg)
+        s, am_b = qcqp_strict_active(l, radius, duals_d.gamma, cfg)
+        am = am_b.astype(l.dtype)
+        tiny = jnp.finfo(l.dtype).tiny
+        gam_coord = jnp.repeat(duals_d.gamma, 2, axis=-1)      # raw, (B, n)
+        d = P + 2.0 * gam_coord
+        d_safe = jnp.where(jnp.abs(d) > tiny, d, tiny)
+        wg = g / d_safe
+        pts = l.reshape(B_, nc, 2)
+        wpts = wg.reshape(B_, nc, 2)
+        dinv = (1.0 / d_safe).reshape(B_, nc, 2)
+        ctd_c = 4.0 * jnp.sum(pts * pts * dinv, axis=-1)       # (C^T D^-1 C)_cc
+        sigma = s * am + (1.0 - am)
+        M = sigma - ctd_c * (duals_d.gamma * am) * am
+        y = -2.0 * am * jnp.sum(pts * wpts, axis=-1)
+        dgamma = am * y / jnp.where(jnp.abs(M) > tiny, M, tiny)
+        coeff = (duals_d.gamma * am * dgamma)                  # (B, nc)
+        dl = wg - (2.0 * l / d_safe) * jnp.repeat(coeff, 2, axis=-1)
+        return QCQPVJP(dl=dl, dgamma=dgamma, gamma=duals_d.gamma)
 
     if duals is None and _use_fused_kernel(P, l, cfg):
         # One fused kernel: dual recovery + Schur-complement adjoint solve

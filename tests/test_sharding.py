@@ -11,6 +11,7 @@ from diffqcqp_tpu.parallel.sharding import (
     shard_batch,
     solve_qcqp_sharded,
     solve_qp_sharded,
+    solve_signed_box_qp_sharded,
 )
 
 CFG = dq.SolverConfig(eps=1e-10, max_iter=5000)
@@ -55,6 +56,22 @@ def test_sharded_qcqp_matches_single_device(rng, spd, mesh):
         config=QCFG,
     )
     np.testing.assert_allclose(np.array(l_sh), np.array(l_ref), atol=1e-7)
+    assert bool(np.all(np.array(s_sh.converged)))
+
+
+def test_sharded_signed_box_matches_single_device(rng, spd, mesh):
+    b, n = 16, 8
+    P = jnp.array(spd(rng, b, n))
+    q = jnp.array(rng.standard_normal((b, n)))
+    lo = jnp.array(-(rng.random((b, n)) * 0.4 + 0.05))
+    hi = jnp.array(rng.random((b, n)) * 0.4 + 0.05)
+    v = jnp.array(rng.standard_normal((b, n)))
+    l_ref = dq.solve_signed_box_qp(P, q, lo, hi, v, config=CFG)
+    l_sh, s_sh = solve_signed_box_qp_sharded(
+        *(shard_batch(x, mesh) for x in (P, q, lo, hi, v)),
+        mesh=mesh, config=CFG,
+    )
+    np.testing.assert_allclose(np.array(l_sh), np.array(l_ref), atol=1e-9)
     assert bool(np.all(np.array(s_sh.converged)))
 
 
