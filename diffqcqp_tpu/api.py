@@ -126,9 +126,10 @@ def which_backend(P, q, config: Optional[SolverConfig] = None) -> str:
     shifted-solve engine).
 
     The auto dispatch is shape/dtype/backend dependent (see ``_use_pallas``);
-    a dense N=40 float32 batch on TPU, for example, silently exceeds the
-    kernel's N <= 32 bound and falls back to the XLA engine whose eigh setup
-    dominates at large batch - this helper makes the cliff inspectable:
+    a dense N=56 float32 batch on TPU, for example, silently exceeds the
+    kernel's N <= 48 auto bound and falls back to the XLA engine whose eigh
+    setup dominates at large batch - this helper makes the cliff
+    inspectable:
 
         >>> which_backend(P, q)          # 'pallas' or 'xla'
     """

@@ -74,6 +74,31 @@ def _use_fused_kernel(P: Array, l: Array, cfg: SolverConfig) -> bool:
     )
 
 
+def _diag_coord_adjoint(P: Array, g: Array, coeffs: list[Array]):
+    """Closed-form KKT adjoint for DIAGONAL P with coordinate-wise
+    constraints (QP / box / signed box).
+
+    Every constraint touches one coordinate and diagonal P couples none, so
+    (see kernels/coord_bwd_pallas.py for the same decoupling argument on
+    dense P): a strict-active coordinate pins dl_i = 0, free coordinates
+    solve P_i dl_i = g_i elementwise, and the active rows split their
+    residual (= g_i, since (P dl)_i = 0 there) minimal-norm across the
+    active slots' B-block coefficients.
+
+    coeffs: per constraint block, the ALREADY-MASKED B-block coefficient
+    (B, n) - zero at slots that are not strictly active. Returns
+    (dl, [dgamma_block, ...]).
+    """
+    am = jnp.minimum(sum((c != 0).astype(g.dtype) for c in coeffs), 1.0)
+    fm = 1.0 - am
+    dl = fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
+    resid = g * am
+    den = jnp.maximum(
+        sum(c * c for c in coeffs), jnp.finfo(g.dtype).tiny
+    )
+    return dl, [c * resid / den for c in coeffs]
+
+
 def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
     """Solve A x = rhs batched; A (B, m, m), rhs (B, m).
 
@@ -144,8 +169,9 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     """
     if P.ndim == 2:
         gamma = qp_dual(P, q, l, cfg)
-        fm = (gamma >= -cfg.act_eps).astype(l.dtype)
-        return fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
+        am = (gamma < -cfg.act_eps).astype(l.dtype)
+        dl, _ = _diag_coord_adjoint(P, g, [am])
+        return dl
     if _use_fused_kernel(P, l, cfg):
         # one fused kernel: dual recovery + masked SPD Cholesky solve
         # (kernels/coord_bwd_pallas.py; parity: tests/test_coord_bwd_kernel)
@@ -262,25 +288,20 @@ def box_vjp(
     other slots are decoupled identity rows solving to zero.
     """
     if duals is None and P.ndim == 2:
-        # Diagonal P: every constraint touches one coordinate and P couples
-        # none, so the whole adjoint is closed-form elementwise (see
-        # kernels/coord_bwd_pallas.py for the same decoupling argument).
+        # Diagonal P: closed-form elementwise (_diag_coord_adjoint).
         duals_d = box_dual(P, q, l_min, l_max, l, cfg)
         n_ = l.shape[-1]
         g_lo, g_hi = duals_d.gamma[:, :n_], duals_d.gamma[:, n_:]
         am_lo = (duals_d.act_lo & (g_lo > cfg.act_eps)).astype(l.dtype)
         am_hi = (duals_d.act_hi & (g_hi > cfg.act_eps)).astype(l.dtype)
-        am = jnp.minimum(am_lo + am_hi, 1.0)
-        fm = 1.0 - am
-        dl = fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
-        resid = g * am                          # (P dl)_i = 0 on active coords
-        c_lo = -g_lo * am_lo
-        c_hi = g_hi * am_hi
-        den = jnp.maximum(c_lo * c_lo + c_hi * c_hi, jnp.finfo(l.dtype).tiny)
-        dgamma = jnp.concatenate(
-            [c_lo * resid / den, c_hi * resid / den], axis=-1
+        dl, (dg_lo, dg_hi) = _diag_coord_adjoint(
+            P, g, [-g_lo * am_lo, g_hi * am_hi]
         )
-        return BoxVJP(dl=dl, dgamma=dgamma, gamma=duals_d.gamma)
+        return BoxVJP(
+            dl=dl,
+            dgamma=jnp.concatenate([dg_lo, dg_hi], axis=-1),
+            gamma=duals_d.gamma,
+        )
     if duals is None and _use_fused_kernel(P, l, cfg):
         from ..kernels.coord_bwd_pallas import KIND_BOX, coord_kkt_bwd_fused
 
@@ -401,9 +422,8 @@ def signed_box_vjp(
     third constraint block v_i l_i <= 0 enters the system like any other;
     gradients are validated against finite differences."""
     if P.ndim == 2:
-        # Diagonal P: closed-form elementwise (see box_vjp's diagonal path).
+        # Diagonal P: closed-form elementwise (_diag_coord_adjoint).
         duals_d = signed_box_dual(P, q, l_min, l_max, v, l, cfg)
-        v_sign_d = jnp.sign(v)
         n_ = l.shape[-1]
         g_lo = duals_d.gamma[:, :n_]
         g_hi = duals_d.gamma[:, n_ : 2 * n_]
@@ -411,22 +431,15 @@ def signed_box_vjp(
         am_lo = (duals_d.act_lo & (g_lo > cfg.act_eps)).astype(l.dtype)
         am_hi = (duals_d.act_hi & (g_hi > cfg.act_eps)).astype(l.dtype)
         am_sg = (duals_d.act_sg & (g_sg > cfg.act_eps)).astype(l.dtype)
-        am = jnp.minimum(am_lo + am_hi + am_sg, 1.0)
-        fm = 1.0 - am
-        dl = fm * g / jnp.where(P > 0, P, 1.0) * (P > 0)
-        resid = g * am
-        c_lo = -g_lo * am_lo
-        c_hi = g_hi * am_hi
-        c_sg = v_sign_d * g_sg * am_sg
-        den = jnp.maximum(
-            c_lo * c_lo + c_hi * c_hi + c_sg * c_sg,
-            jnp.finfo(l.dtype).tiny,
+        dl, (dg_lo, dg_hi, dg_sg) = _diag_coord_adjoint(
+            P, g,
+            [-g_lo * am_lo, g_hi * am_hi, jnp.sign(v) * g_sg * am_sg],
         )
-        dgamma = jnp.concatenate(
-            [c_lo * resid / den, c_hi * resid / den, c_sg * resid / den],
-            axis=-1,
+        return SignedBoxVJP(
+            dl=dl,
+            dgamma=jnp.concatenate([dg_lo, dg_hi, dg_sg], axis=-1),
+            gamma=duals_d.gamma,
         )
-        return SignedBoxVJP(dl=dl, dgamma=dgamma, gamma=duals_d.gamma)
     if _use_fused_kernel(P, l, cfg):
         from ..kernels.coord_bwd_pallas import (
             KIND_SIGNED_BOX,

@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SolverConfig
 from ..solvers.admm import SolveStats
 from .layout import LANES as _LANES
+from .layout import pack_P, pack_vec, qcqp_perm, unpack_vec
 from .layout import round_up as _round_up
 from .layout import vmem_tile_b
 
@@ -310,15 +311,6 @@ def _admm_chol_kernel(
     stall_out[:] = final[10]
 
 
-def _qcqp_perm(n: int):
-    """Permutation: reference coordinate order (2i, 2i+1 per contact) ->
-    kernel order (i, nc+i)."""
-    nc = n // 2
-    perm = np.concatenate([np.arange(nc) * 2, np.arange(nc) * 2 + 1])
-    inv = np.argsort(perm)
-    return perm, inv
-
-
 def admm_solve_pallas(
     P: Array,
     q: Array,
@@ -346,39 +338,27 @@ def admm_solve_pallas(
     f32 = jnp.float32
 
     if prox_kind == PROX_DISK:
-        perm, inv = _qcqp_perm(n)
-        P = P[:, perm][:, :, perm]
-        q_k = q[:, perm]
-        ws_k = warm_start[:, perm]
+        perm, inv = qcqp_perm(n)
     else:
-        q_k = q
-        ws_k = warm_start
+        perm = inv = None
 
     n_pad = _round_up(n, 8)
     # VMEM residents: P input block (double-buffered) + lc scratch; the
     # measured failure point was n_pad=24, tile_b=2048 ("20.53M > 16.00M").
     tb = vmem_tile_b(n_pad, min(tile_b, _round_up(B, _LANES)))
     Bp = _round_up(B, tb)
-    pad_b = Bp - B
-    pad_n = n_pad - n
+
+    # kernels/layout.py: padded coords get an identity diagonal, padded
+    # problems P = I (they solve trivially to 0 since their q = 0).
+    P_k = pack_P(P, n_pad, Bp, perm=perm)
 
     def to_kernel_vec(x, fill=0.0):
-        x = jnp.pad(x.astype(f32), ((0, pad_b), (0, pad_n)), constant_values=fill)
-        return x.T
+        if perm is not None:
+            x = x[:, perm]
+        return pack_vec(x, n_pad, Bp, fill=fill)
 
-    # P: (B, n, n) -> (n_pad, n_pad, Bp); padded coords get identity diagonal,
-    # padded problems get P = I (solve trivially to 0 since their q = 0).
-    P_p = jnp.pad(P.astype(f32), ((0, pad_b), (0, pad_n), (0, pad_n)))
-    if pad_n:
-        pad_eye = np.zeros((n_pad, n_pad), np.float32)
-        pad_eye[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
-        P_p = P_p + jnp.asarray(pad_eye)[None]
-    if pad_b:
-        P_p = P_p.at[B:, :n, :n].add(jnp.eye(n, dtype=f32)[None])
-    P_k = jnp.transpose(P_p, (1, 2, 0))
-
-    q_kk = to_kernel_vec(q_k)
-    ws_kk = to_kernel_vec(ws_k)
+    q_kk = to_kernel_vec(q)
+    ws_kk = to_kernel_vec(warm_start)
 
     zero_plane = jnp.zeros((n_pad, Bp), f32)
     if prox_kind == PROX_BOX:
@@ -390,10 +370,9 @@ def admm_solve_pallas(
         b_k = to_kernel_vec(prox_args[1], fill=1.0)
         c_k = to_kernel_vec(prox_args[2], fill=0.0)
     elif prox_kind == PROX_DISK:
-        radius = prox_args[0].astype(f32)              # (B, nc)
-        r_plane = jnp.zeros((Bp, n_pad), f32)
-        r_plane = r_plane.at[:B, :nc].set(radius)
-        a_k = r_plane.T
+        # (B, nc) radii sit in the FIRST nc sublane rows of an (n_pad, Bp)
+        # plane (kernel reads a_ref[:nc, :]); no coordinate permutation.
+        a_k = pack_vec(prox_args[0], n_pad, Bp)
         b_k = zero_plane
         c_k = zero_plane
     else:
@@ -430,9 +409,7 @@ def admm_solve_pallas(
         interpret=interpret,
     )(P_k, q_kk, ws_kk, a_k, b_k, c_k)
 
-    l2 = l2_k.T[:B, :n]
-    if prox_kind == PROX_DISK:
-        l2 = l2[:, inv]
+    l2 = unpack_vec(l2_k, B, n, inv=inv)
     stats = SolveStats(
         iterations=iters_k[0, :B].astype(jnp.int32),
         res_prim=resp_k[0, :B].astype(orig_dtype),

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .layout import LANES as _LANES
-from .layout import pack_P, pack_vec, qcqp_perm, vmem_tile_b
+from .layout import pack_P, pack_vec, qcqp_perm, unpack_vec, vmem_tile_b
 from .layout import round_up as _round_up
 
 
@@ -327,9 +327,9 @@ def qcqp_kkt_bwd_fused(
         interpret=interpret,
     )(P_k, vec_n(q), vec_n(l), vec_n(g), vec_c(radius))
 
-    dgamma = dgam_k.T[:B, :nc].astype(orig)
-    dl = dl_k.T[:B, :n][:, inv].astype(orig)
-    gamma = gamma_k.T[:B, :nc].astype(orig)
+    dgamma = unpack_vec(dgam_k, B, nc).astype(orig)
+    dl = unpack_vec(dl_k, B, n, inv=inv).astype(orig)
+    gamma = unpack_vec(gamma_k, B, nc).astype(orig)
     return dgamma, dl, gamma
 
 
@@ -396,6 +396,6 @@ def qcqp_kkt_bwd_pallas(
         interpret=interpret,
     )(P_k, vec_n(l), vec_n(g), vec_c(gamma), vec_c(s), vec_c(active.astype(f32)))
 
-    dgamma = dgam_k.T[:B, :nc].astype(orig)
-    dl = dl_k.T[:B, :n][:, inv].astype(orig)
+    dgamma = unpack_vec(dgam_k, B, nc).astype(orig)
+    dl = unpack_vec(dl_k, B, n, inv=inv).astype(orig)
     return dgamma, dl

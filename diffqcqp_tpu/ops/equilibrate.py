@@ -33,19 +33,25 @@ def ruiz_diag(P: Array, iters: int = 10, eps: float = 1e-12) -> Array:
     """Equilibration diagonal d (B, N) > 0 such that diag(d) P diag(d) has
     ~unit inf-norm rows. P (B, N, N) dense or (B, N) diagonal.
 
-    Rows whose inf-norm is effectively zero keep their current scale (the
-    identity-row convention): dividing by a clamped-to-tiny norm would grow d
-    without bound, overflow to inf, and NaN-poison the solve, while the
-    unequilibrated engine handles the same degenerate P via its L >= mu_prox
-    guard."""
+    Rows whose inf-norm is effectively zero RELATIVE to the problem's own
+    largest row norm keep their current scale (the identity-row
+    convention): dividing by a clamped-to-tiny norm would grow d without
+    bound, overflow to inf, and NaN-poison the solve, while the
+    unequilibrated engine handles the same degenerate P via its
+    L >= mu_prox guard. The threshold is per-problem relative, so a
+    uniformly tiny-scaled (e.g. SI-unit) P is still equilibrated."""
     if P.ndim == 2:
         a = jnp.abs(P)
-        return jnp.where(a > eps, 1.0 / jnp.sqrt(jnp.maximum(a, eps)), 1.0)
+        thr = eps * jnp.max(a, axis=-1, keepdims=True)
+        return jnp.where(a > thr, 1.0 / jnp.sqrt(jnp.maximum(a, thr)), 1.0)
 
     def body(_, d):
         Pd = P * d[:, :, None] * d[:, None, :]
         norms = jnp.max(jnp.abs(Pd), axis=-1)
-        return jnp.where(norms > eps, d / jnp.sqrt(jnp.maximum(norms, eps)), d)
+        thr = eps * jnp.max(norms, axis=-1, keepdims=True)
+        return jnp.where(
+            norms > thr, d / jnp.sqrt(jnp.maximum(norms, thr)), d
+        )
 
     d0 = jnp.ones(P.shape[:2], P.dtype)
     return jax.lax.fori_loop(0, iters, body, d0)

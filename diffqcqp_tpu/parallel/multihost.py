@@ -46,13 +46,18 @@ def initialize_distributed(
     quietly solving a different batch than intended."""
     import os
 
-    explicit = coordinator_address is not None or any(
-        os.environ.get(v)
-        for v in (
-            "JAX_COORDINATOR_ADDRESS",
-            "COORDINATOR_ADDRESS",
-            "JAX_NUM_PROCESSES",
-            "JAX_PROCESS_ID",
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or any(
+            os.environ.get(v)
+            for v in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID",
+            )
         )
     )
     try:

@@ -69,7 +69,7 @@ def _plq(P: Array, l: Array, q: Array) -> Array:
     return jnp.sum(P * l[:, None, :], axis=-1) + q
 
 
-def _prep(P, q, l, tol_act: Optional[float], mu_ir, iters, dtype):
+def _prep(P, q, l, tol_act: Optional[float], dtype):
     c = canon_problem(P, q)
     P_, q_ = c.P.astype(dtype), c.q.astype(dtype)
     l_ = jnp.asarray(l)
@@ -81,7 +81,7 @@ def _prep(P, q, l, tol_act: Optional[float], mu_ir, iters, dtype):
         # stationarity residual as an error.
         tol_act = 100.0 * float(jnp.finfo(l_.dtype).eps)
     l_ = (l_.reshape(q_.shape) if l_.size == q_.size else l_).astype(dtype)
-    return c, P_, q_, l_, tol_act
+    return P_, q_, l_, tol_act
 
 
 def check_qp(
@@ -89,7 +89,7 @@ def check_qp(
     iters: int = 5, dtype=jnp.float64,
 ) -> KKTResiduals:
     """KKT residuals of a non-negative QP solution (c_i = -l_i <= 0)."""
-    c, P_, q_, l_, tol = _prep(P, q, l, tol_act, mu_ir, iters, dtype)
+    P_, q_, l_, tol = _prep(P, q, l, tol_act, dtype)
     n = q_.shape[-1]
     plq = _plq(P_, l_, q_)
     scale = jnp.maximum(1.0, jnp.max(jnp.abs(l_), axis=-1, keepdims=True))
@@ -104,7 +104,7 @@ def check_box_qp(
     mu_ir: float = 1e-12, iters: int = 5, dtype=jnp.float64,
 ) -> KKTResiduals:
     """KKT residuals of a box-QP solution (c = [l_min - l, l - l_max])."""
-    c, P_, q_, l_, tol = _prep(P, q, l, tol_act, mu_ir, iters, dtype)
+    P_, q_, l_, tol = _prep(P, q, l, tol_act, dtype)
     n = q_.shape[-1]
     lo = jnp.broadcast_to(jnp.asarray(l_min, dtype), l_.shape)
     hi = jnp.broadcast_to(jnp.asarray(l_max, dtype), l_.shape)
@@ -124,7 +124,7 @@ def check_signed_box_qp(
 ) -> KKTResiduals:
     """KKT residuals of a signed-box solution
     (c = [l_min - l, l - l_max, sign(v) * l])."""
-    c, P_, q_, l_, tol = _prep(P, q, l, tol_act, mu_ir, iters, dtype)
+    P_, q_, l_, tol = _prep(P, q, l, tol_act, dtype)
     n = q_.shape[-1]
     lo = jnp.broadcast_to(jnp.asarray(l_min, dtype), l_.shape)
     hi = jnp.broadcast_to(jnp.asarray(l_max, dtype), l_.shape)
@@ -155,7 +155,7 @@ def check_qcqp(
     """KKT residuals of a friction-cone QCQP solution, squared-slack form
     (c_i = ||l_(i)||^2 - r_i^2 <= 0 with r = l_n * mu, matching the
     differentiated system of Solver.cpp:619-681)."""
-    c, P_, q_, l_, tol = _prep(P, q, l, tol_act, mu_ir, iters, dtype)
+    P_, q_, l_, tol = _prep(P, q, l, tol_act, dtype)
     B, n = l_.shape
     nc = n // 2
     r = (jnp.asarray(l_n, dtype) * jnp.asarray(mu, dtype)).reshape(B, nc)
