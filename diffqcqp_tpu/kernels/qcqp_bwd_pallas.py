@@ -104,7 +104,15 @@ def _schur_core(
         lc_ref[:, j, :] = col * (row_n >= j).astype(f32)
 
     def chol_solve(rhs):
-        """(L L^T)^{-1} rhs, rhs (n, tb)."""
+        """(L L^T)^{-1} rhs, rhs (n, tb).
+
+        (A multi-RHS variant sweeping the whole (n, nc+1, tb) w_ref block
+        at once - one pair of triangular sweeps for all right-hand sides,
+        3-D ref-slice read-modify-write along the leading axis - was tried
+        on-chip: numerically equivalent within f32 conditioning but NO
+        faster (the kernel is not bound by this chain), so the simpler
+        per-column solves stay.)
+        """
         acc = rhs
         ys = []
         for i in range(n):
