@@ -111,12 +111,16 @@ def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
     whole backward otherwise); elsewhere (or with cfg.backend='xla') it is a
     batched LU.
     """
-    use_pallas = cfg.backend == "pallas" or (
-        cfg.backend == "auto"
-        and rhs.dtype == jnp.float32
-        and A.shape[-1] <= 128
-        and jax.default_backend() == "tpu"
-    )
+    # m <= 88 is the largest system whose QR-kernel working set fits VMEM
+    # at the minimum 128-lane tile (see qr_solve_pallas); larger systems go
+    # to XLA's batched LU.
+    use_pallas = (
+        cfg.backend == "pallas" or (
+            cfg.backend == "auto"
+            and rhs.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+    ) and A.shape[-1] <= 88
     if use_pallas:
         from ..kernels.qr_solve_pallas import qr_solve_pallas
 

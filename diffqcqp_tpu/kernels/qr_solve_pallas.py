@@ -35,11 +35,9 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .layout import LANES as _LANES
+from .layout import round_up as _round_up
+from .layout import vmem_tile_b
 
 
 def _qr_solve_kernel(a_ref, b_ref, x_out, a_scr, *, m: int):
@@ -115,9 +113,13 @@ def qr_solve_pallas(
     f32 = jnp.float32
     orig_dtype = b.dtype
 
-    tb = min(tile_b, _round_up(B, _LANES))
-    Bp = _round_up(B, tb)
     m_pad = _round_up(m, 8)
+    # A input block (double-buffered) + a_scr scratch must fit VMEM. The
+    # lane tile cannot shrink below 128, so m <= ~88 is the largest system
+    # that fits (3 x 88^2 x 128 x 4B ~= 12 MiB) - diff/kkt.py's dispatch
+    # respects that bound and sends larger systems to XLA's batched LU.
+    tb = vmem_tile_b(m_pad, min(tile_b, _round_up(B, _LANES)))
+    Bp = _round_up(B, tb)
     pad_b, pad_m = Bp - B, m_pad - m
 
     A_p = jnp.pad(A.astype(f32), ((0, pad_b), (0, pad_m), (0, pad_m)))
