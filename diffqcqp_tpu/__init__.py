@@ -30,6 +30,7 @@ from .api import (
     which_backend,
 )
 from .config import QCQP_DEFAULTS, QP_DEFAULTS
+from . import debug, verify
 from .utils.cache import enable_compilation_cache
 
 __version__ = "0.1.0"

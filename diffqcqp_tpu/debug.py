@@ -1,0 +1,123 @@
+"""Per-iteration solve traces: the observability layer the reference only
+had as commented-out printouts.
+
+The reference's dev harness printed residuals inside the loop
+(/root/reference/qcqplib/Solver.cpp, commented std::couts); SURVEY.md
+section 5 promises the TPU-native equivalent as an aux-output pytree.
+``trace_*`` run the IDENTICAL engine body as the production solvers (the
+``make_admm_step`` closure shared with ``admm_solve``) under a fixed-length
+``lax.scan``, recording per-iteration histories:
+
+    tr = trace_qp(P, q, iters=60)
+    tr.res_dual      # (iters, B) dual-residual trajectory
+    tr.res_prim      # (iters, B)
+    tr.rho           # (iters, B) adaptive-penalty history
+    tr.active        # (iters, B) bool: problem still iterating
+    tr.l2            # (B, N) final iterate (== admm_solve's at that count)
+
+This is a diagnostic tool (convergence-stall forensics, rho-schedule
+tuning, plotting): it always runs exactly ``iters`` steps of the XLA
+engine - converged problems freeze exactly as in production - and records
+O(iters * B) history, so use moderate batch sizes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
+from .ops.prox import prox_box, prox_disk, prox_nonneg, prox_signed_box
+from .solvers.admm import make_admm_step
+from .utils.shapes import canon_like, canon_problem
+
+
+class SolveTrace(NamedTuple):
+    res_prim: Array      # (iters, B)
+    res_dual: Array      # (iters, B)
+    rho: Array           # (iters, B)
+    active: Array        # (iters, B) bool: still iterating at this step
+    l2: Array            # (B, N) final iterate after `iters` steps
+    converged: Array     # (B,) bool at the end of the trace
+    iterations: Array    # (B,) int32 per-problem iterations actually run
+
+
+def _trace(P, q, ws, prox, cfg, iters, qcqp_stopping=False, damp_both=True):
+    _, body, state0 = make_admm_step(
+        P, q, ws, prox, cfg, qcqp_stopping, damp_both
+    )
+
+    def step(s, _):
+        rec = (s.res_prim, s.res_dual, s.rho, ~s.converged)
+        return body(s), rec
+
+    final, (rp, rd, rho, act) = jax.lax.scan(
+        step, state0, None, length=iters
+    )
+    # the recorded quantities are the state BEFORE each body call; shift so
+    # row k holds the residuals AFTER iteration k (active stays pre-step:
+    # "was the problem still iterating when step k ran").
+    return SolveTrace(
+        res_prim=jnp.concatenate([rp[1:], final.res_prim[None]], axis=0),
+        res_dual=jnp.concatenate([rd[1:], final.res_dual[None]], axis=0),
+        rho=jnp.concatenate([rho[1:], final.rho[None]], axis=0),
+        active=act,
+        l2=final.l2,
+        converged=final.converged,
+        iterations=final.iters,
+    )
+
+
+def trace_qp(
+    P, q, warm_start=None, *, iters: int = 100,
+    config: Optional[SolverConfig] = None,
+) -> SolveTrace:
+    """Trace a non-negative QP solve for exactly ``iters`` engine steps."""
+    cfg = (config or QP_DEFAULTS).replace(max_iter=iters)
+    c = canon_problem(P, q)
+    ws = (
+        jnp.zeros_like(c.q) if warm_start is None
+        else canon_like(warm_start, c, "warm_start", width=c.q.shape[-1])
+    )
+    return _trace(c.P, c.q, ws, prox_nonneg, cfg, iters)
+
+
+def trace_box_qp(
+    P, q, l_min, l_max, warm_start=None, *, iters: int = 100,
+    config: Optional[SolverConfig] = None,
+) -> SolveTrace:
+    cfg = (config or QP_DEFAULTS).replace(max_iter=iters)
+    c = canon_problem(P, q)
+    n = c.q.shape[-1]
+    lo = canon_like(l_min, c, "l_min", width=n)
+    hi = canon_like(l_max, c, "l_max", width=n)
+    ws = (
+        jnp.zeros_like(c.q) if warm_start is None
+        else canon_like(warm_start, c, "warm_start", width=n)
+    )
+    return _trace(c.P, c.q, ws, lambda x: prox_box(x, lo, hi), cfg, iters)
+
+
+def trace_qcqp(
+    P, q, l_n, mu, warm_start=None, *, iters: int = 100,
+    config: Optional[SolverConfig] = None,
+) -> SolveTrace:
+    """Trace a friction-cone QCQP solve (reference rho semantics:
+    damp_both_taus=False, combined stopping rule)."""
+    cfg = (config or QCQP_DEFAULTS).replace(max_iter=iters)
+    c = canon_problem(P, q)
+    n = c.q.shape[-1]
+    radius = canon_like(l_n, c, "l_n", width=n // 2) * canon_like(
+        mu, c, "mu", width=n // 2
+    )
+    ws = (
+        jnp.zeros_like(c.q) if warm_start is None
+        else canon_like(warm_start, c, "warm_start", width=n)
+    )
+    return _trace(
+        c.P, c.q, ws, lambda x: prox_disk(x, radius), cfg, iters,
+        qcqp_stopping=True, damp_both=False,
+    )

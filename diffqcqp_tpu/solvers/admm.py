@@ -150,6 +150,34 @@ def admm_solve(
     Returns:
       (l2, SolveStats) with l2 the per-problem solution (B, N).
     """
+    cond, body, state0 = make_admm_step(
+        P, q, warm_start, prox, cfg, qcqp_stopping, damp_both_taus
+    )
+    final = jax.lax.while_loop(cond, body, state0)
+    stats = SolveStats(
+        iterations=final.iters,
+        res_prim=final.res_prim,
+        res_dual=final.res_dual,
+        converged=final.converged,
+        stalled=final.stalled,
+    )
+    return final.l2, stats
+
+
+def make_admm_step(
+    P: Array,
+    q: Array,
+    warm_start: Array,
+    prox: Callable[[Array], Array],
+    cfg: SolverConfig,
+    qcqp_stopping: bool = False,
+    damp_both_taus: bool = True,
+) -> tuple[Callable, Callable, ADMMState]:
+    """(cond, body, initial_state) of the ADMM loop, for callers that want
+    to drive the iteration themselves: ``admm_solve`` runs it under
+    ``lax.while_loop``; the debug tracer (debug.py) runs the SAME body
+    under ``lax.scan`` to record per-iteration residual/rho histories
+    (identical trajectories by construction)."""
     fact = factorize(P)
     state0 = _initial_state(fact, P, q, warm_start, cfg)
     dtype = q.dtype
@@ -257,12 +285,4 @@ def admm_solve(
             all_done=all_done,
         )
 
-    final = jax.lax.while_loop(cond, body, state0)
-    stats = SolveStats(
-        iterations=final.iters,
-        res_prim=final.res_prim,
-        res_dual=final.res_dual,
-        converged=final.converged,
-        stalled=final.stalled,
-    )
-    return final.l2, stats
+    return cond, body, state0
