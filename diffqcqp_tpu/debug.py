@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from .config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
+from .ops.equilibrate import isotropize, ruiz_diag, scale_problem
 from .ops.prox import prox_box, prox_disk, prox_nonneg, prox_signed_box
 from .solvers.admm import make_admm_step
 from .utils.shapes import canon_like, canon_problem
@@ -78,11 +79,21 @@ def trace_qp(
     """Trace a non-negative QP solve for exactly ``iters`` engine steps."""
     cfg = (config or QP_DEFAULTS).replace(max_iter=iters)
     c = canon_problem(P, q)
+    P_, q_ = c.P, c.q
     ws = (
-        jnp.zeros_like(c.q) if warm_start is None
-        else canon_like(warm_start, c, "warm_start", width=c.q.shape[-1])
+        jnp.zeros_like(q_) if warm_start is None
+        else canon_like(warm_start, c, "warm_start", width=q_.shape[-1])
     )
-    return _trace(c.P, c.q, ws, prox_nonneg, cfg, iters)
+    d = None
+    if cfg.equilibrate:
+        # same preprocessing as api._qp: the trace must describe the solve
+        # production actually runs (residuals/rho are on the EQUILIBRATED
+        # problem, like the production stopping test; l2 is mapped back).
+        d = ruiz_diag(P_, cfg.ruiz_iters)
+        P_, q_ = scale_problem(P_, q_, d)
+        ws = ws / d
+    tr = _trace(P_, q_, ws, prox_nonneg, cfg, iters)
+    return tr._replace(l2=tr.l2 * d) if d is not None else tr
 
 
 def trace_box_qp(
@@ -92,13 +103,47 @@ def trace_box_qp(
     cfg = (config or QP_DEFAULTS).replace(max_iter=iters)
     c = canon_problem(P, q)
     n = c.q.shape[-1]
+    P_, q_ = c.P, c.q
     lo = canon_like(l_min, c, "l_min", width=n)
     hi = canon_like(l_max, c, "l_max", width=n)
     ws = (
-        jnp.zeros_like(c.q) if warm_start is None
+        jnp.zeros_like(q_) if warm_start is None
         else canon_like(warm_start, c, "warm_start", width=n)
     )
-    return _trace(c.P, c.q, ws, lambda x: prox_box(x, lo, hi), cfg, iters)
+    d = None
+    if cfg.equilibrate:
+        d = ruiz_diag(P_, cfg.ruiz_iters)
+        P_, q_ = scale_problem(P_, q_, d)
+        ws, lo, hi = ws / d, lo / d, hi / d
+    tr = _trace(P_, q_, ws, lambda x: prox_box(x, lo, hi), cfg, iters)
+    return tr._replace(l2=tr.l2 * d) if d is not None else tr
+
+
+def trace_signed_box_qp(
+    P, q, l_min, l_max, v, warm_start=None, *, iters: int = 100,
+    config: Optional[SolverConfig] = None,
+) -> SolveTrace:
+    cfg = (config or QP_DEFAULTS).replace(max_iter=iters)
+    c = canon_problem(P, q)
+    n = c.q.shape[-1]
+    P_, q_ = c.P, c.q
+    lo = canon_like(l_min, c, "l_min", width=n)
+    hi = canon_like(l_max, c, "l_max", width=n)
+    vs = jnp.sign(canon_like(v, c, "v", width=n))
+    ws = (
+        jnp.zeros_like(q_) if warm_start is None
+        else canon_like(warm_start, c, "warm_start", width=n)
+    )
+    d = None
+    if cfg.equilibrate:
+        # sign(v * l) is invariant under the positive rescaling (api.py)
+        d = ruiz_diag(P_, cfg.ruiz_iters)
+        P_, q_ = scale_problem(P_, q_, d)
+        ws, lo, hi = ws / d, lo / d, hi / d
+    tr = _trace(
+        P_, q_, ws, lambda x: prox_signed_box(x, lo, hi, vs), cfg, iters
+    )
+    return tr._replace(l2=tr.l2 * d) if d is not None else tr
 
 
 def trace_qcqp(
@@ -110,14 +155,23 @@ def trace_qcqp(
     cfg = (config or QCQP_DEFAULTS).replace(max_iter=iters)
     c = canon_problem(P, q)
     n = c.q.shape[-1]
+    P_, q_ = c.P, c.q
     radius = canon_like(l_n, c, "l_n", width=n // 2) * canon_like(
         mu, c, "mu", width=n // 2
     )
     ws = (
-        jnp.zeros_like(c.q) if warm_start is None
+        jnp.zeros_like(q_) if warm_start is None
         else canon_like(warm_start, c, "warm_start", width=n)
     )
-    return _trace(
-        c.P, c.q, ws, lambda x: prox_disk(x, radius), cfg, iters,
+    d = None
+    if cfg.equilibrate:
+        # per-contact isotropic scale, as api._qcqp (disk stays a disk)
+        d = isotropize(ruiz_diag(P_, cfg.ruiz_iters))
+        P_, q_ = scale_problem(P_, q_, d)
+        ws = ws / d
+        radius = radius / d[:, ::2]
+    tr = _trace(
+        P_, q_, ws, lambda x: prox_disk(x, radius), cfg, iters,
         qcqp_stopping=True, damp_both=False,
     )
+    return tr._replace(l2=tr.l2 * d) if d is not None else tr

@@ -112,15 +112,17 @@ def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
     batched LU.
     """
     # m <= 88 is the largest system whose QR-kernel working set fits VMEM
-    # at the minimum 128-lane tile (see qr_solve_pallas); larger systems go
-    # to XLA's batched LU.
-    use_pallas = (
-        cfg.backend == "pallas" or (
-            cfg.backend == "auto"
-            and rhs.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-        )
-    ) and A.shape[-1] <= 88
+    # at the minimum 128-lane tile (see qr_solve_pallas); the AUTO dispatch
+    # sends larger systems to XLA's batched LU. An EXPLICIT
+    # backend='pallas' is honoured unconditionally (interpret off-TPU;
+    # on-TPU an oversized system fails loudly at compile rather than
+    # silently running a different code path than requested).
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto"
+        and rhs.dtype == jnp.float32
+        and A.shape[-1] <= 88
+        and jax.default_backend() == "tpu"
+    )
     if use_pallas:
         from ..kernels.qr_solve_pallas import qr_solve_pallas
 

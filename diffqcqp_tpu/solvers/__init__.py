@@ -1,1 +1,1 @@
-from .admm import ADMMState, SolveStats, admm_solve
+from .admm import ADMMState, SolveStats, admm_solve, make_admm_step

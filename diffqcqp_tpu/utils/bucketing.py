@@ -45,9 +45,21 @@ def pad_to_bucket(
     """Pad each array's leading batch dim up to the bucket size.
 
     args[0] must be P ((B, N, N) dense or (B, N) diagonal): its padding is
-    the identity problem; every other array pads with zeros.
+    the identity problem; every other array pads with zeros. Every array
+    must carry the SAME leading batch dimension - broadcast conveniences
+    the solver API accepts (shared (N, N) P over a batched q, unbatched
+    bounds) must be materialised by the caller first, because a shared
+    dense P is indistinguishable from a diagonal batch here and would be
+    silently corrupted.
     """
     B = args[0].shape[0]
+    for i, x in enumerate(args):
+        if x.shape[0] != B:
+            raise ValueError(
+                f"pad_to_bucket: args[{i}] has leading dim {x.shape[0]} != "
+                f"{B}; all arrays must share one batch dimension "
+                "(broadcast/shared inputs must be materialised first)"
+            )
     Bp = bucket_size(B, buckets)
     info = BucketInfo(batch=B, padded=Bp)
     if Bp == B:

@@ -59,3 +59,37 @@ def test_trace_qcqp_feasibility_over_time(rng, spd):
     # the residual trajectory is (eventually) decreasing to tolerance
     rd = np.array(tr.res_dual)
     assert np.all(rd[-1] <= 1e-9)
+
+
+def test_trace_matches_production_with_equilibrate(rng, spd):
+    """The trace must describe the solve production actually runs,
+    including the Ruiz-equilibrated path (same iteration counts)."""
+    b, n = 4, 8
+    P = np.array(spd(rng, b, n))
+    scales = np.exp(np.linspace(-2, 2, n))
+    P = P * scales[None, :, None] * scales[None, None, :]
+    q = rng.standard_normal((b, n)) * scales[None, :]
+    cfg = CFG.replace(equilibrate=True, max_iter=500)
+    tr = debug.trace_qp(jnp.array(P), jnp.array(q), iters=500, config=cfg)
+    l_ref, st = dq.solve_qp_with_stats(jnp.array(P), jnp.array(q), config=cfg)
+    np.testing.assert_array_equal(
+        np.array(tr.iterations), np.array(st.iterations)
+    )
+    np.testing.assert_allclose(np.array(tr.l2), np.array(l_ref), atol=0)
+
+
+def test_trace_signed_box(rng, spd):
+    b, n = 4, 6
+    P = jnp.array(spd(rng, b, n))
+    q = jnp.array(rng.standard_normal((b, n)))
+    lo = jnp.array(-(rng.random((b, n)) * 0.4 + 0.05))
+    hi = jnp.array(rng.random((b, n)) * 0.4 + 0.05)
+    v = jnp.array(rng.standard_normal((b, n)))
+    tr = debug.trace_signed_box_qp(P, q, lo, hi, v, iters=500, config=CFG)
+    l_ref, st = dq.solve_signed_box_qp_with_stats(
+        P, q, lo, hi, v, config=CFG.replace(max_iter=500)
+    )
+    np.testing.assert_allclose(np.array(tr.l2), np.array(l_ref), atol=0)
+    np.testing.assert_array_equal(
+        np.array(tr.iterations), np.array(st.iterations)
+    )
