@@ -66,7 +66,7 @@ def _admm_chol_kernel(
     p_ref, q_ref, ws_ref,
     a_ref, b_ref, c_ref,            # prox params (see wrapper)
     # outputs
-    l2_out, iters_out, resp_out, resd_out, conv_out, stall_out,
+    l2_out, iters_out, resp_out, resd_out, rho_out, conv_out, stall_out,
     # scratch
     lc_ref,                          # (n, n, tb) Cholesky factor
     *,
@@ -289,8 +289,14 @@ def _admm_chol_kernel(
         l2_o = keep * l2_n + (1.0 - keep) * l2
         u_o = keep * u_n + (1.0 - keep) * u
         qp_o = keep * q_prox_n + (1.0 - keep) * q_prox
-        resp_o = keep * rp + (1.0 - keep) * resp
-        resd_o = keep * rd + (1.0 - keep) * resd
+        # residual carries START at +inf, so the freeze must be a SELECT:
+        # the arithmetic blend keep*new + (1-keep)*old evaluates 0*inf =
+        # NaN on the first iteration and the NaN then propagates to the
+        # recorded stats forever (found on hardware in round 3; the
+        # stopping logic was unaffected - it uses the freshly computed
+        # residuals - so solutions/convergence were always correct).
+        resp_o = jnp.where(keep > 0.5, rp, resp)
+        resd_o = jnp.where(keep > 0.5, rd, resd)
         conv_o = jnp.maximum(conv, active * newly)
         # eps-certified vs noise-floor stall (SolveStats.stalled)
         stall_o = jnp.maximum(
@@ -307,6 +313,7 @@ def _admm_chol_kernel(
     iters_out[:] = final[11]
     resp_out[:] = final[12]
     resd_out[:] = final[13]
+    rho_out[:] = final[4]
     conv_out[:] = final[9]
     stall_out[:] = final[10]
 
@@ -392,16 +399,20 @@ def admm_solve_pallas(
         n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg,
         qcqp_stopping=qcqp_stopping, damp_both=damp_both,
     )
-    l2_k, iters_k, resp_k, resd_k, conv_k, stall_k = pl.pallas_call(
+    l2_k, iters_k, resp_k, resd_k, rho_k, conv_k, stall_k = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[mat_spec, vec_spec, vec_spec, vec_spec, vec_spec, vec_spec],
-        out_specs=(vec_spec, row_spec, row_spec, row_spec, row_spec, row_spec),
+        out_specs=(
+            vec_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
+            row_spec,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),    # iters (f32 in-kernel)
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),    # final rho
             jax.ShapeDtypeStruct((1, Bp), f32),    # converged mask (f32)
             jax.ShapeDtypeStruct((1, Bp), f32),    # stalled mask (f32)
         ),
@@ -414,6 +425,7 @@ def admm_solve_pallas(
         iterations=iters_k[0, :B].astype(jnp.int32),
         res_prim=resp_k[0, :B].astype(orig_dtype),
         res_dual=resd_k[0, :B].astype(orig_dtype),
+        rho=rho_k[0, :B].astype(orig_dtype),
         converged=conv_k[0, :B] > 0.5,
         stalled=stall_k[0, :B] > 0.5,
     )

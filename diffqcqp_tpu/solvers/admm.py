@@ -12,8 +12,12 @@ operating on a whole batch of independent problems at once:
     iteration; converged problems are frozen by masking while the
     ``lax.while_loop`` keeps running until every problem (on every shard, via
     an optional ``lax.pmax``) is done or ``max_iter`` is reached;
-  * adaptive rho never re-factors anything: the linear solve goes through the
-    spectral handle (ops/linalg.py), for which a shift change is free.
+  * the linear solve has two modes (SolverConfig.linsolve): the SPECTRAL
+    handle (ops/linalg.py) for which every adaptive-rho shift change is free
+    (one eigh up front), and the batched-CHOLESKY explicit inverse for large
+    dense N where that eigh setup is the dominant cost - there each
+    iteration is one matvec against the carried inverse, refactored only on
+    rho-change iterations (gated to shared iterations by rho_sync).
 
 Per-iteration recipe (matching Solver.cpp:79-121; note that in the reference
 ``l_2_pred`` always equals the previous ``l_2`` at the top of an iteration, so
@@ -48,6 +52,7 @@ from jax import Array
 from ..config import SolverConfig
 from ..ops.linalg import (
     Factorization,
+    chol_inverse_shifted,
     factorize,
     linf_norm,
     power_iteration,
@@ -72,6 +77,9 @@ class ADMMState(NamedTuple):
     res_prim: Array      # (B,) last primal residual
     res_dual: Array      # (B,) last dual residual
     all_done: Array      # scalar bool (globally reduced when sharded)
+    fact_inv: Array      # (B, N, N) inverse of P+(rho+mu)I (linsolve='chol'
+                         # mode, refactored on rho-change iterations);
+                         # scalar 0.0 dummy in the spectral/diagonal modes
 
 
 class SolveStats(NamedTuple):
@@ -81,6 +89,12 @@ class SolveStats(NamedTuple):
     iterations: Array    # (B,) int32
     res_prim: Array      # (B,)
     res_dual: Array      # (B,)
+    rho: Array           # (B,) final penalty parameter - with res_prim it
+                         # makes the returned iterate's stationarity bound
+                         # computable (verify.stationarity_bound): the ADMM
+                         # optimality identity gives ||Pl2+q+J'g||_inf <=
+                         # (||P||/a)(rp + |1-a| rd/rho) + (1-1/a) rho rp
+                         # + rd/a + O(mu_prox).
     converged: Array     # (B,) bool
     stalled: Array       # (B,) bool: converged only via the machine-precision
                          # stall test (cfg.stall_tol), NOT eps-certified - the
@@ -89,12 +103,32 @@ class SolveStats(NamedTuple):
                          # res_dual < eps or when stall_tol == 0.
 
 
+def _use_chol(P: Array, cfg: SolverConfig) -> bool:
+    """linsolve dispatch: the explicit-inverse batched-Cholesky mode for
+    dense P. 'auto' picks it above the pallas kernel's N <= 48 auto bound,
+    where the spectral engine's one-off eigh setup (196 ms at B=4096 N=24,
+    growing steeply with N) dominates whole solves. Below that, on the XLA
+    engine's remaining duties (CPU/f64/sharded-lockstep), eigh amortises
+    and every rho update staying factorisation-free wins."""
+    if P.ndim != 3:
+        return False
+    if cfg.linsolve == "chol":
+        return True
+    return cfg.linsolve == "auto" and P.shape[-1] > 48
+
+
 def _initial_state(
-    fact: Factorization, P: Array, q: Array, warm_start: Array, cfg: SolverConfig
+    fact: Factorization | None,
+    P: Array,
+    q: Array,
+    warm_start: Array,
+    cfg: SolverConfig,
 ) -> ADMMState:
     B, _ = q.shape
     dtype = q.dtype
-    if cfg.lmax_method == "power":
+    use_chol = fact is None
+    if use_chol or cfg.lmax_method == "power":
+        # chol mode has no spectral factorisation to read lmax from
         L = power_iteration(P, cfg.power_iters)
     else:
         L = fact.lmax
@@ -103,7 +137,13 @@ def _initial_state(
     rho = jnp.sqrt(cfg.mu_prox * L) * ratio**0.4 * cfg.rho0_scale  # Solver.cpp:72
     tau = ratio**0.15                                      # Solver.cpp:73
     zeros = jnp.zeros_like(q)
+    fact_inv = (
+        chol_inverse_shifted(P, rho.astype(dtype) + cfg.mu_prox)
+        if use_chol
+        else jnp.zeros((), dtype)
+    )
     return ADMMState(
+        fact_inv=fact_inv,
         it=jnp.zeros((), jnp.int32),
         l=zeros,
         l2=warm_start.astype(dtype),
@@ -158,6 +198,7 @@ def admm_solve(
         iterations=final.iters,
         res_prim=final.res_prim,
         res_dual=final.res_dual,
+        rho=final.rho,
         converged=final.converged,
         stalled=final.stalled,
     )
@@ -178,7 +219,8 @@ def make_admm_step(
     ``lax.while_loop``; the debug tracer (debug.py) runs the SAME body
     under ``lax.scan`` to record per-iteration residual/rho histories
     (identical trajectories by construction)."""
-    fact = factorize(P)
+    use_chol = _use_chol(P, cfg)
+    fact = None if use_chol else factorize(P)
     state0 = _initial_state(fact, P, q, warm_start, cfg)
     dtype = q.dtype
     eps = jnp.asarray(cfg.eps, dtype)
@@ -196,7 +238,14 @@ def make_admm_step(
         # named scopes annotate the HLO so jax.profiler traces attribute time
         # to solver phases (the tracing layer the reference lacks, SURVEY 5).
         with jax.named_scope("admm_linear_solve"):
-            l = solve_shifted(fact, rho_c * s.l2 - s.u - s.q_prox, s.rho + mu_prox)
+            rhs = rho_c * s.l2 - s.u - s.q_prox
+            if use_chol:
+                # multiply+reduce, not a batched (N,N)@(N,1) dot_general
+                # (MXU pads the 1-wide operand to a full tile; measured
+                # 10-50x the arithmetic cost - see _pl_plus_q in diff/kkt)
+                l = jnp.sum(s.fact_inv * rhs[:, None, :], axis=-1)
+            else:
+                l = solve_shifted(fact, rhs, s.rho + mu_prox)
         with jax.named_scope("admm_prox_dual"):
             q_prox = q - mu_prox * l
             r = alpha * l + (1.0 - alpha) * s.l2
@@ -251,8 +300,23 @@ def make_admm_step(
             rho = jnp.where(app_inc, s.rho * tau_inc, jnp.where(app_dec, s.rho / tau_dec, s.rho))
             rho_up = jnp.where(app_inc, 1, jnp.where(app_dec, -1, s.rho_up))
             cpt = jnp.where(fire, s.cpt + 1, s.cpt)
+            if use_chol:
+                # refactor only when some problem's rho changed (with
+                # rho_sync these land on shared iterations, ~2-3 per
+                # solve); problems with unchanged rho recompute the
+                # identical inverse - pure function of (P, rho) - so the
+                # batch-wide recompute is sound (same argument as the
+                # pallas kernel's tile-wide refactor).
+                fact_inv = jax.lax.cond(
+                    jnp.any(app_inc | app_dec),
+                    lambda: chol_inverse_shifted(P, rho + mu_prox),
+                    lambda: s.fact_inv,
+                )
+            else:
+                fact_inv = s.fact_inv
         else:
             tau_inc, tau_dec, rho, rho_up, cpt = s.tau_inc, s.tau_dec, s.rho, s.rho_up, s.cpt
+            fact_inv = s.fact_inv
 
         # --- freeze converged problems
         m = active[:, None]
@@ -283,6 +347,7 @@ def make_admm_step(
             converged=converged, stalled=stalled, iters=iters,
             res_prim=res_prim, res_dual=res_dual,
             all_done=all_done,
+            fact_inv=fact_inv,
         )
 
     return cond, body, state0

@@ -59,6 +59,7 @@ def solve_resumed(
             iterations=total_iters,
             res_prim=jnp.where(unconv, st.res_prim, stats.res_prim),
             res_dual=jnp.where(unconv, st.res_dual, stats.res_dual),
+            rho=jnp.where(unconv, st.rho, stats.rho),
             converged=stats.converged | st.converged,
             stalled=jnp.where(unconv, st.stalled, stats.stalled),
         )

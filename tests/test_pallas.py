@@ -207,10 +207,18 @@ def test_pallas_stalled_flag(prob):
     )
     assert bool(np.all(np.array(s_pal.converged)))
     assert bool(np.any(np.array(s_pal.stalled)))
+    # recorded residuals must be real numbers (a 0*inf blend once turned
+    # them ALL to NaN, which also made the assert below pass vacuously)
+    assert np.all(np.isfinite(np.array(s_pal.res_dual)))
+    assert np.all(np.isfinite(np.array(s_pal.res_prim)))
     # eps-certified convergence must NOT be flagged stalled
     _, s_easy = admm_solve_pallas(
         P, q, ws, PROX_NONNEG, (), CFG, interpret=True, tile_b=128
     )
     stalled = np.array(s_easy.stalled)
-    certified = np.array(s_easy.res_dual) < CFG.eps
+    resd = np.array(s_easy.res_dual)
+    assert np.all(np.isfinite(resd))
+    certified = resd < CFG.eps
+    # every eps-certified problem exists and none is mislabelled stalled
+    assert np.any(certified)
     assert not np.any(stalled & certified)
