@@ -56,11 +56,24 @@ class SolverConfig:
         the while-loop is reduced with ``jax.lax.pmax`` across that axis so
         all shards of a ``shard_map``-ped solve agree on the stopping
         iteration (the only collective the algorithm needs).
+      linsolve: ``'auto'`` | ``'spectral'`` | ``'chol'`` - the XLA engine's
+        linear-solve mode for dense P (ignored by the pallas kernel, which
+        has its own in-VMEM Cholesky, and by diagonal P). ``'spectral'``:
+        one batched eigh up front, every adaptive-rho shift is then free -
+        right when N is small or iterations are many. ``'chol'``: batched
+        Cholesky of P + (rho+mu)I with an explicit inverse carried through
+        the loop (one matvec per iteration), refactored only on rho-change
+        iterations - kills the eigh setup cliff at large N (196 ms at
+        B=4096 N=24 vs 11.6 ms for cholesky, and growing with N; DESIGN.md
+        section 3). ``'auto'`` picks chol for dense N > 48 (above the
+        pallas kernel's auto bound), spectral otherwise.
       backend: ``'auto'`` | ``'xla'`` | ``'pallas'``. The pallas backend is
         the fused single-kernel TPU path (kernels/admm_pallas.py; float32,
-        dense P, N <= 32, always power-iteration L). ``'auto'`` picks pallas
-        exactly when those conditions hold on a TPU backend, else the pure
-        XLA engine (solvers/admm.py).
+        dense P, always power-iteration L). ``'auto'`` picks pallas exactly
+        when those conditions hold on a TPU backend AND N <= 48; N in
+        (48, 64] works via an explicit ``backend='pallas'`` (Mosaic compile
+        time of the unrolled kernel grows steeply with N - see
+        api._use_pallas). Else the pure XLA engine (solvers/admm.py).
       pallas_tile_b: problems per kernel instance (lane-tile width) for the
         pallas backend.
       stall_tol: machine-precision stall test, in ulps: a problem also counts
@@ -117,6 +130,7 @@ class SolverConfig:
     ir_iters: int = 10
     axis_name: Optional[str] = None
     backend: str = "auto"
+    linsolve: str = "auto"
     pallas_tile_b: int = 512
     stall_tol: float = 8.0
     rho_sync: bool = True

@@ -99,7 +99,9 @@ def _diag_coord_adjoint(P: Array, g: Array, coeffs: list[Array]):
     return dl, [c * resid / den for c in coeffs]
 
 
-def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
+def _solve_direct(
+    A: Array, rhs: Array, cfg: SolverConfig, spd: bool = False
+) -> Array:
     """Solve A x = rhs batched; A (B, m, m), rhs (B, m).
 
     Callers assemble the TRANSPOSED differentiated-KKT system directly (the
@@ -127,6 +129,18 @@ def _solve_direct(A: Array, rhs: Array, cfg: SolverConfig) -> Array:
         from ..kernels.qr_solve_pallas import qr_solve_pallas
 
         return qr_solve_pallas(A, rhs)
+    if spd:
+        # SPD systems (the QP class's masked K): batched Cholesky, ~4x the
+        # speed of XLA's pivoted batched LU (DESIGN.md section 3) - this is
+        # what the N > 88 dense-QP backward runs on.
+        L = jnp.linalg.cholesky(A)
+        x = jax.lax.linalg.triangular_solve(
+            L, rhs[..., None], left_side=True, lower=True
+        )
+        x = jax.lax.linalg.triangular_solve(
+            L, x, left_side=True, lower=True, transpose_a=True
+        )
+        return x[..., 0]
     return jnp.linalg.solve(A, rhs[..., None])[..., 0]
 
 
@@ -198,8 +212,9 @@ def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
     K = Pd * fm[:, :, None] * fm[:, None, :] + jnp.eye(n, dtype=l.dtype) * (
         am
     )[:, None, :]
-    # K is symmetric (masked symmetric P + diagonal): K^T = K.
-    x = _solve_direct(K, g * fm, cfg)
+    # K is symmetric POSITIVE DEFINITE (masked symmetric SPD P + unit
+    # diagonal on the active set): K^T = K, solvable by Cholesky.
+    x = _solve_direct(K, g * fm, cfg, spd=True)
     return x * fm
 
 
@@ -606,6 +621,16 @@ def qcqp_vjp(
     s, active = qcqp_strict_active(l, radius, duals.gamma, cfg)
     am = active.astype(l.dtype)
 
+    if nc + n > 88:
+        # Beyond the QR kernel's VMEM bound, a (nc+n)-sized batched LU is
+        # the expensive path (44 ms at the flagship shape, DESIGN.md
+        # section 3, and growing as m^3). Eliminate dl instead: D = P +
+        # blockdiag(2 gamma_i I_2) is SPD, so one batched Cholesky of D
+        # and an nc x nc Schur system replace the LU - the XLA mirror of
+        # the fused kernel's math (kernels/qcqp_bwd_pallas.py), tested
+        # against the LU path in tests/test_qcqp.py.
+        return _qcqp_schur_vjp(P, l, g, s, am, duals.gamma, nc, n)
+
     # Assemble S^T = [[diag(s), C^T], [B^T, D]] DIRECTLY (each block is a
     # masked broadcast; D is symmetric), avoiding a batched trailing-dims
     # transpose. S's blocks: C (n, nc) column i = 2 l_(i) in rows (2i, 2i+1),
@@ -626,6 +651,45 @@ def qcqp_vjp(
     rhs = jnp.concatenate([jnp.zeros((B_, nc), l.dtype), g], axis=-1)
     x = _solve_direct(ST, rhs, cfg)
     return QCQPVJP(dl=x[:, nc:], dgamma=x[:, :nc] * am, gamma=duals.gamma)
+
+
+def _qcqp_schur_vjp(
+    P: Array, l: Array, g: Array, s: Array, am: Array, gamma: Array,
+    nc: int, n: int,
+) -> QCQPVJP:
+    """Schur-complement form of the transposed differentiated-KKT solve:
+
+        sigma dgamma + C^T dl = 0,   B^T dgamma + D dl = g
+        =>  (sigma - C^T D^{-1} B^T) dgamma = -C^T D^{-1} g
+            dl = D^{-1} (g - B^T dgamma)
+
+    with D = P + blockdiag(2 gamma_i I_2) SPD (one batched Cholesky, nc+1
+    simultaneous right-hand sides) and an nc x nc system - never a
+    (nc+n)^3 pivoted LU."""
+    B_ = l.shape[0]
+    dtype = l.dtype
+    contact_of = jnp.arange(n) // 2
+    sel_T = (jnp.arange(nc)[:, None] == contact_of[None, :]).astype(dtype)
+    Ct = 2.0 * l[:, None, :] * sel_T * am[:, :, None]               # (B, nc, n)
+    Bt = 2.0 * l[:, :, None] * sel_T.T * (gamma * am)[:, None, :]   # (B, n, nc)
+    gamma_per_coord = jnp.repeat(gamma, 2, axis=-1)
+    D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(n, dtype=dtype)
+    sigma = s * am + (1.0 - am)
+
+    L = jnp.linalg.cholesky(D)
+    rhs = jnp.concatenate([g[..., None], Bt], axis=-1)              # (B, n, 1+nc)
+    X = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    X = jax.lax.linalg.triangular_solve(
+        L, X, left_side=True, lower=True, transpose_a=True
+    )
+    y, W = X[..., 0], X[..., 1:]                    # D^{-1} g, D^{-1} B^T
+    M = jnp.eye(nc, dtype=dtype) * sigma[:, :, None] - jnp.einsum(
+        "bcn,bnk->bck", Ct, W
+    )
+    rhs_g = -jnp.sum(Ct * y[:, None, :], axis=-1)
+    dgamma = jnp.linalg.solve(M, rhs_g[..., None])[..., 0] * am
+    dl = y - jnp.sum(W * dgamma[:, None, :], axis=-1)
+    return QCQPVJP(dl=dl, dgamma=dgamma, gamma=gamma)
 
 
 def qcqp_radius_factors(l_n: Array, mu: Array, gamma: Array) -> tuple[Array, Array]:

@@ -1,0 +1,122 @@
+"""Large-N engine paths (VERDICT r2 item 2: kill the eigh setup cliff).
+
+Covers: the batched-Cholesky explicit-inverse engine mode
+(SolverConfig.linsolve='chol', auto-selected for dense N > 48), the SPD
+Cholesky backward solve of the QP class, and the Schur-complement XLA
+backward of the QCQP class (auto-selected when nc + n > 88) - each against
+the established spectral/LU paths on identical problems.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import diffqcqp_tpu as dq
+from diffqcqp_tpu.diff import kkt
+
+
+def _dense_problem(rng, spd, b, n):
+    P = jnp.array(spd(rng, b, n))
+    q = jnp.array(rng.standard_normal((b, n)))
+    return P, q
+
+
+def test_chol_engine_matches_spectral_qp(rng, spd):
+    b, n = 8, 96
+    P, q = _dense_problem(rng, spd, b, n)
+    cfg = dq.SolverConfig(eps=1e-10, max_iter=5000)
+    l_s, st_s = dq.solve_qp_with_stats(
+        P, q, config=cfg.replace(linsolve="spectral")
+    )
+    l_c, st_c = dq.solve_qp_with_stats(P, q, config=cfg.replace(linsolve="chol"))
+    assert bool(np.all(np.asarray(st_c.converged)))
+    np.testing.assert_allclose(np.asarray(l_c), np.asarray(l_s), atol=5e-9)
+    # auto at N=96 picks chol; same answers either way
+    l_a, _ = dq.solve_qp_with_stats(P, q, config=cfg)
+    np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_c), atol=0)
+
+
+def test_chol_engine_matches_spectral_qcqp(rng, spd):
+    b, nc = 6, 48
+    n = 2 * nc
+    P, q = _dense_problem(rng, spd, b, n)
+    l_n = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    mu = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-9, max_iter=20000)
+    l_s, _ = dq.solve_qcqp_with_stats(
+        P, q, l_n, mu, config=cfg.replace(linsolve="spectral")
+    )
+    l_c, st_c = dq.solve_qcqp_with_stats(P, q, l_n, mu, config=cfg)
+    assert bool(np.all(np.asarray(st_c.converged)))
+    np.testing.assert_allclose(np.asarray(l_c), np.asarray(l_s), atol=1e-7)
+
+
+def test_large_n_qp_gradient_fd(rng, spd):
+    """N=96 QP backward (SPD-Cholesky solve path): full-loss FD check."""
+    b, n = 4, 96
+    P, q = _dense_problem(rng, spd, b, n)
+    cfg = dq.SolverConfig(eps=1e-10, max_iter=5000)
+
+    def loss(q):
+        return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
+
+    g = np.asarray(jax.grad(loss)(q))
+    i = np.unravel_index(int(np.argmax(np.abs(g))), g.shape)
+    h = 1e-6
+    qn = np.asarray(q)
+    up, dn = qn.copy(), qn.copy()
+    up[i] += h
+    dn[i] -= h
+    fd = (float(loss(jnp.asarray(up))) - float(loss(jnp.asarray(dn)))) / (2 * h)
+    assert abs(fd - g[i]) / max(abs(fd), 1e-12) < 1e-6
+
+
+def test_qcqp_schur_matches_lu(rng, spd):
+    """The Schur-complement backward (used when nc + n > 88) reproduces the
+    direct-LU saddle solve on identical problems - compared on a SMALL
+    system where both paths are callable."""
+    b, nc = 10, 6
+    n = 2 * nc
+    P, q = _dense_problem(rng, spd, b, n)
+    l_n = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    mu = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-9, max_iter=20000)
+    radius = l_n * mu
+    l = dq.solve_qcqp(P, q, l_n, mu, config=cfg)
+    g = jnp.array(rng.standard_normal((b, n)))
+
+    lu = kkt.qcqp_vjp(P, q, radius, l, g, cfg)        # nc + n = 18 -> LU
+    duals = kkt.qcqp_dual(P, q, radius, l, cfg)
+    s, active = kkt.qcqp_strict_active(l, radius, duals.gamma, cfg)
+    schur = kkt._qcqp_schur_vjp(
+        P, l, g, s, active.astype(l.dtype), duals.gamma, nc, n
+    )
+    np.testing.assert_allclose(
+        np.asarray(schur.dl), np.asarray(lu.dl), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(schur.dgamma), np.asarray(lu.dgamma), atol=1e-8
+    )
+
+
+def test_large_n_qcqp_gradient_fd(rng, spd):
+    """nc + n > 88 (the auto-Schur regime): full-loss FD check at N=60."""
+    b, nc = 3, 30
+    n = 2 * nc
+    P, q = _dense_problem(rng, spd, b, n)
+    l_n = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    mu = jnp.array(rng.random((b, nc)) * 0.5 + 0.05)
+    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-9, max_iter=20000)
+
+    def loss(q):
+        return jnp.sum(dq.solve_qcqp(P, q, l_n, mu, config=cfg) ** 2)
+
+    g = np.asarray(jax.grad(loss)(q))
+    i = np.unravel_index(int(np.argmax(np.abs(g))), g.shape)
+    h = 1e-6
+    qn = np.asarray(q)
+    up, dn = qn.copy(), qn.copy()
+    up[i] += h
+    dn[i] -= h
+    fd = (float(loss(jnp.asarray(up))) - float(loss(jnp.asarray(dn)))) / (2 * h)
+    assert abs(fd - g[i]) / max(abs(fd), 1e-12) < 1e-5
