@@ -29,26 +29,33 @@ import jax.numpy as jnp
 from jax import Array
 
 
-def ruiz_diag(P: Array, iters: int = 10, eps: float = 1e-12) -> Array:
+def ruiz_diag(P: Array, iters: int = 10) -> Array:
     """Equilibration diagonal d (B, N) > 0 such that diag(d) P diag(d) has
     ~unit inf-norm rows. P (B, N, N) dense or (B, N) diagonal.
 
-    Rows whose inf-norm is effectively zero RELATIVE to the problem's own
-    largest row norm keep their current scale (the identity-row
-    convention): dividing by a clamped-to-tiny norm would grow d without
-    bound, overflow to inf, and NaN-poison the solve, while the
-    unequilibrated engine handles the same degenerate P via its
-    L >= mu_prox guard. The threshold is per-problem relative, so a
-    uniformly tiny-scaled (e.g. SI-unit) P is still equilibrated."""
+    Zero-row guard: rows whose inf-norm sits at/below sqrt(dtype tiny)
+    (~1e-19 in f32, ~1.5e-154 in f64 - i.e. actual zeros or denormal
+    noise, NOT merely small rows) keep their current scale (the
+    identity-row convention): dividing by a clamped-to-tiny norm would
+    grow d without bound, overflow to inf, and NaN-poison the solve, while
+    the unequilibrated engine handles the same degenerate P via its
+    L >= mu_prox guard. The threshold is deliberately ABSOLUTE: a relative
+    one (round 2 used 1e-12 * the problem's largest row) silently refuses
+    to rescale legitimate rows whenever the dynamic range exceeds it - and
+    the reference's own benchmark generator (test_script.py:144-149,
+    exp-diag squared twice) spans ~e^80, which is exactly the regime
+    equilibration exists for. 1/sqrt(norm) of any above-threshold value is
+    finite in the working dtype (max d ~ 1/sqrt(thr) = tiny^-0.25)."""
     if P.ndim == 2:
         a = jnp.abs(P)
-        thr = eps * jnp.max(a, axis=-1, keepdims=True)
+        thr = jnp.sqrt(jnp.finfo(P.dtype).tiny)
         return jnp.where(a > thr, 1.0 / jnp.sqrt(jnp.maximum(a, thr)), 1.0)
+
+    thr = jnp.sqrt(jnp.finfo(P.dtype).tiny)
 
     def body(_, d):
         Pd = P * d[:, :, None] * d[:, None, :]
         norms = jnp.max(jnp.abs(Pd), axis=-1)
-        thr = eps * jnp.max(norms, axis=-1, keepdims=True)
         return jnp.where(
             norms > thr, d / jnp.sqrt(jnp.maximum(norms, thr)), d
         )
