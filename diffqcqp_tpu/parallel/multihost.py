@@ -60,16 +60,21 @@ def initialize_distributed(
             )
         )
     )
+    if jax.distributed.is_initialized():
+        # idempotent: a second call (e.g. library + launcher both initialize)
+        # is a no-op. Probed directly rather than classified from an error
+        # message, which JAX versions are free to reword.
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError) as e:
-        if explicit and "already" not in str(e).lower():
+    except (RuntimeError, ValueError):
+        if explicit:
             raise
-        # already initialized, or single-process without coordinator config
+        # single-process without coordinator config
 
 
 def global_batch_mesh(axis_name: str = BATCH_AXIS):
