@@ -11,7 +11,7 @@ section 5 promises the TPU-native equivalent as an aux-output pytree.
     tr = trace_qp(P, q, iters=60)
     tr.res_dual      # (iters, B) dual-residual trajectory
     tr.res_prim      # (iters, B)
-    tr.rho           # (iters, B) adaptive-penalty history
+    tr.rho           # (iters, B) penalty iteration k ran with
     tr.active        # (iters, B) bool: problem still iterating
     tr.l2            # (B, N) final iterate (== admm_solve's at that count)
 
@@ -37,9 +37,10 @@ from .utils.shapes import canon_like, canon_problem
 
 
 class SolveTrace(NamedTuple):
-    res_prim: Array      # (iters, B)
+    res_prim: Array      # (iters, B) residuals AFTER iteration k
     res_dual: Array      # (iters, B)
-    rho: Array           # (iters, B)
+    rho: Array           # (iters, B) penalty iteration k RAN WITH (produces
+                         # res_dual[k] = rho[k] * ||l2[k] - l2[k-1]||_inf)
     active: Array        # (iters, B) bool: still iterating at this step
     l2: Array            # (B, N) final iterate after `iters` steps
     converged: Array     # (B,) bool at the end of the trace
@@ -58,13 +59,16 @@ def _trace(P, q, ws, prox, cfg, iters, qcqp_stopping=False, damp_both=True):
     final, (rp, rd, rho, act) = jax.lax.scan(
         step, state0, None, length=iters
     )
-    # the recorded quantities are the state BEFORE each body call; shift so
-    # row k holds the residuals AFTER iteration k (active stays pre-step:
-    # "was the problem still iterating when step k ran").
+    # the recorded quantities are the state BEFORE each body call; residuals
+    # are shifted so row k holds the residuals AFTER iteration k. rho and
+    # active stay PRE-step: rho[k] is the penalty iteration k ran with (the
+    # engine computes res_dual[k] = rho[k] * ||delta l2||, so rho[k] and
+    # res_*[k] are the aligned pair for rho-schedule tuning), and active[k]
+    # is "was the problem still iterating when step k ran".
     return SolveTrace(
         res_prim=jnp.concatenate([rp[1:], final.res_prim[None]], axis=0),
         res_dual=jnp.concatenate([rd[1:], final.res_dual[None]], axis=0),
-        rho=jnp.concatenate([rho[1:], final.rho[None]], axis=0),
+        rho=rho,
         active=act,
         l2=final.l2,
         converged=final.converged,
