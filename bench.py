@@ -40,17 +40,22 @@ def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=40):
 
     from diffqcqp_tpu import QCQP_DEFAULTS, solve_qcqp, solve_qcqp_with_stats
 
-    # Tuning knobs (see SolverConfig): rho0_scale x3 cuts mean iterations
-    # ~30% on this problem distribution with identical solutions (verified
-    # against rho0_scale=1.0 to ~1e-5 and against the native f64 oracle);
-    # 10 power-iteration steps estimate L as well as the reference's 100
-    # (iteration counts measurably identical, 14.61 vs 14.58 mean);
-    # rho_update_period=8 spaces the tile-wide Cholesky refactorisations
-    # (~3 iterations' cost each) with measurably identical iteration counts.
-    # All three shape the trajectory, not the fixed point.
+    # Tuning knobs (see SolverConfig) - all shape the trajectory, not the
+    # fixed point (solutions verified against the reference schedule to
+    # ~1e-5 and against the native f64 oracle). Round-3 retune against the
+    # kernel's REAL cost function, tile-iterations + 3x refactorisations
+    # (convergence is tile-synchronous, so each 512-lane tile pays its
+    # slowest problem; a tile-wide refactor costs ~3 iterations):
+    # rho0_scale=2.0 trades +2 mean iterations for a much shorter tail
+    # (max 28 vs 38), and rho_update_period=24 makes the adaptive-rho
+    # refactorisations all but vanish - most problems converge before the
+    # first update window. Measured cost-equivalent 94 vs 160 for round
+    # 2's (3.0, 8) setting, 41% less; 10 power-iteration steps estimate L
+    # as well as the reference's 100 (iteration counts measurably
+    # identical).
     cfg = QCQP_DEFAULTS.replace(
-        eps=eps, max_iter=max_iter, rho0_scale=3.0, power_iters=10,
-        rho_update_period=8,
+        eps=eps, max_iter=max_iter, rho0_scale=2.0, power_iters=10,
+        rho_update_period=24,
     )
     P, q, l_n, mu = _build_problems(b, nc, np.float32)
     P, q, l_n, mu = map(jnp.asarray, (P, q, l_n, mu))

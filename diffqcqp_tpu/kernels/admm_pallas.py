@@ -233,50 +233,64 @@ def _admm_chol_kernel(
 
         adapt = active * (1.0 - newly)
         if cfg.adaptive_rho:
-            inc = adapt * (rp > mu_thresh * rd).astype(f32)
-            dec = adapt * (1.0 - inc) * (rd > mu_thresh * rp).astype(f32)
-            fire = inc + dec
+            def rho_update(gate):
+                inc = adapt * (rp > mu_thresh * rd).astype(f32)
+                dec = adapt * (1.0 - inc) * (rd > mu_thresh * rp).astype(f32)
+                fire = inc + dec
+                app_inc = gate * inc
+                app_dec = gate * dec
+                flip_inc = app_inc * (rho_up < -0.5).astype(f32)
+                flip_dec = app_dec * (rho_up > 0.5).astype(f32)
+                damped_inc = 1.0 + damp * (tau_inc - 1.0)
+                damped_dec = 1.0 + damp * (tau_dec - 1.0)
+                if damp_both:
+                    dm = flip_inc + flip_dec
+                    tau_inc_n = dm * damped_inc + (1.0 - dm) * tau_inc
+                    tau_dec_n = dm * damped_dec + (1.0 - dm) * tau_dec
+                else:
+                    tau_inc_n = flip_inc * damped_inc + (1.0 - flip_inc) * tau_inc
+                    tau_dec_n = flip_dec * damped_dec + (1.0 - flip_dec) * tau_dec
+                rho_n = (
+                    app_inc * (rho * tau_inc_n)
+                    + app_dec * (rho / tau_dec_n)
+                    + (1.0 - app_inc - app_dec) * rho
+                )
+                rho_up_n = app_inc - app_dec + (1.0 - app_inc - app_dec) * rho_up
+                cpt_n = cpt + fire
+                any_change = jnp.max(app_inc + app_dec) > 0.5
+                return tau_inc_n, tau_dec_n, rho_n, rho_up_n, cpt_n, any_change
+
             if cfg.rho_sync:
                 # batch-synchronous throttle (cfg.rho_sync): refactorisations
-                # land on shared iterations instead of firing tile-wide nearly
-                # every step from per-lane staggering. it=0 excluded (rho0
-                # was applied this very iteration; a tile-wide refactor costs
-                # ~3 iterations) - mirrored in solvers/admm.py for parity.
-                period_ok = (
-                    ((it % cfg.rho_update_period) == 0) & (it > 0)
+                # land on shared iterations instead of firing tile-wide
+                # nearly every step from per-lane staggering. it=0 excluded
+                # (rho0 was applied this very iteration; a tile-wide
+                # refactor costs ~3 iterations) - mirrored in
+                # solvers/admm.py for parity. The predicate is a SCALAR, so
+                # the whole ~25-op update block runs under lax.cond only on
+                # period iterations (1 in rho_update_period) instead of
+                # computing masked no-ops every iteration. cpt (unused for
+                # gating in sync mode, not an output) is only maintained on
+                # those iterations.
+                period_ok = (it % cfg.rho_update_period == 0) & (it > 0)
+                (tau_inc_n, tau_dec_n, rho_n, rho_up_n, cpt_n,
+                 any_change) = jax.lax.cond(
+                    period_ok,
+                    lambda: rho_update(f32(1.0)),
+                    lambda: (tau_inc, tau_dec, rho, rho_up, cpt,
+                             jnp.zeros((), jnp.bool_)),
+                )
+            else:
+                period_gate = (
+                    (cpt - jnp.floor(cpt / cfg.rho_update_period)
+                     * cfg.rho_update_period) < 0.5
                 ).astype(f32)
-                apply = fire * period_ok
-            else:
-                period_ok = (
-                    cpt - jnp.floor(cpt / cfg.rho_update_period) * cfg.rho_update_period
-                ) < 0.5
-                apply = fire * period_ok.astype(f32)
-            app_inc = apply * inc
-            app_dec = apply * dec
-            flip_inc = app_inc * (rho_up < -0.5).astype(f32)
-            flip_dec = app_dec * (rho_up > 0.5).astype(f32)
-            damped_inc = 1.0 + damp * (tau_inc - 1.0)
-            damped_dec = 1.0 + damp * (tau_dec - 1.0)
-            if damp_both:
-                dm = flip_inc + flip_dec
-                tau_inc_n = dm * damped_inc + (1.0 - dm) * tau_inc
-                tau_dec_n = dm * damped_dec + (1.0 - dm) * tau_dec
-            else:
-                tau_inc_n = flip_inc * damped_inc + (1.0 - flip_inc) * tau_inc
-                tau_dec_n = flip_dec * damped_dec + (1.0 - flip_dec) * tau_dec
-            rho_n = (
-                app_inc * (rho * tau_inc_n)
-                + app_dec * (rho / tau_dec_n)
-                + (1.0 - app_inc - app_dec) * rho
-            )
-            rho_up_n = app_inc - app_dec + (1.0 - app_inc - app_dec) * rho_up
-            cpt_n = cpt + fire
+                (tau_inc_n, tau_dec_n, rho_n, rho_up_n, cpt_n,
+                 any_change) = rho_update(period_gate)
 
             # refactor the tile's Cholesky when any lane's rho changed; lanes
             # with unchanged rho recompute the identical factor (pure
             # function of P and rho), so a tile-wide refactor is sound.
-            any_change = jnp.max(app_inc + app_dec) > 0.5
-
             @pl.when(any_change)
             def _():
                 factorize(rho_n + mu_prox)

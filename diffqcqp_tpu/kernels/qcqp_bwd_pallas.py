@@ -103,19 +103,23 @@ def _schur_core(
         col = s_col * jax.lax.rsqrt(d)
         lc_ref[:, j, :] = col * (row_n >= j).astype(f32)
 
-    def chol_solve(rhs):
-        """(L L^T)^{-1} rhs, rhs (n, tb).
+    zero_row = l[0:1, :] * 0.0   # concrete-layout zeros (Mosaic quirk)
 
-        (A multi-RHS variant sweeping the whole (n, nc+1, tb) w_ref block
-        at once - one pair of triangular sweeps for all right-hand sides,
-        3-D ref-slice read-modify-write along the leading axis - was tried
-        on-chip: numerically equivalent within f32 conditioning but NO
-        faster (the kernel is not bound by this chain), so the simpler
-        per-column solves stay.)
+    def chol_solve(rhs, start=0):
+        """(L L^T)^{-1} rhs, rhs (n, tb), rhs rows < start known zero.
+
+        Forward substitution on a lower-triangular L maps leading zero
+        rows to leading zero rows, so the sweep starts at ``start`` - the
+        C columns (first nonzero at row c) skip an average of nc/2 rows
+        each. (A multi-RHS variant sweeping the whole (n, nc+1, tb) w_ref
+        block at once - one pair of triangular sweeps for all right-hand
+        sides, 3-D ref-slice read-modify-write along the leading axis -
+        was tried on-chip: numerically equivalent within f32 conditioning
+        but NO faster, so the per-column solves stay.)
         """
         acc = rhs
-        ys = []
-        for i in range(n):
+        ys = [zero_row] * start
+        for i in range(start, n):
             coli = lc_ref[:, i, :]
             yi = acc[i : i + 1, :] / coli[i : i + 1, :]
             ys.append(yi)
@@ -135,7 +139,7 @@ def _schur_core(
     for c in range(nc):
         ec = ((row_n == c) | (row_n == nc + c)).astype(f32)
         col = 2.0 * l * ec * am[c : c + 1, :]
-        w_ref[:, 1 + c, :] = chol_solve(col)
+        w_ref[:, 1 + c, :] = chol_solve(col, start=c)
 
     # ---- M = Sigma - C^T W_C diag(gam); y = -C^T W_g   (per lane, nc x nc)
     # C^T z for contact r: 2 (l_r z_r + l_{nc+r} z_{nc+r}) * am_r.
@@ -160,9 +164,14 @@ def _schur_core(
     for c in range(nc, nc_pad):
         m_ref[:, c, :] = (row_c == c).astype(f32) + sigma * 0.0
 
-    # ---- solve M dgamma = y by unrolled Householder QR (M small, nc_pad^2)
+    # ---- solve M dgamma = y by unrolled Householder QR. Only the leading
+    # nc x nc block is nontrivial: columns/rows >= nc of the padded system
+    # are exact identity (ct_dot zero-pads, sigma rows >= nc are 1, y rows
+    # >= nc are 0), every reflection vector for k < nc has support in rows
+    # < nc, and the padded solution entries are 0 - so the k/j loops run
+    # to nc, not nc_pad (saves ~(nc_pad^2 - nc^2) column ops).
     b = y
-    for k in range(nc_pad):
+    for k in range(nc):
         below = (row_c >= k).astype(f32)
         col = m_ref[:, k, :] * below
         akk = col[k : k + 1, :]
@@ -174,14 +183,14 @@ def _schur_core(
         vsq = jnp.sum(v * v, axis=0, keepdims=True)
         beta = jnp.where(vsq > tiny, f32(2.0) / jnp.maximum(vsq, tiny), f32(0.0))
         m_ref[:, k, :] = alpha * ek + m_ref[:, k, :] * (row_c < k).astype(f32)
-        for j in range(k + 1, nc_pad):
+        for j in range(k + 1, nc):
             cj = m_ref[:, j, :]
             wj = jnp.sum(v * cj, axis=0, keepdims=True)
             m_ref[:, j, :] = cj - (beta * wj) * v
         wb = jnp.sum(b * v, axis=0, keepdims=True)
         b = b - (beta * wb) * v
     dgam = b * 0.0
-    for k in reversed(range(nc_pad)):
+    for k in reversed(range(nc)):
         rrow = m_ref[k]
         upper = (row_c > k).astype(f32)
         dot = jnp.sum(rrow * dgam * upper, axis=0, keepdims=True)
