@@ -154,6 +154,9 @@ def config2(reps):
     import diffqcqp_tpu as dq
 
     b, n = 128, 24
+    # B=128 steps are ~0.5 ms: raise the on-device repeat count so the
+    # differenced loop sits far above the ~27 ms tunnel dispatch noise.
+    reps = max(reps, 200)
     rng = np.random.default_rng(1)
     P = _spd(rng, b, n, np.float32)
     q = rng.standard_normal((b, n)).astype(np.float32)
@@ -195,6 +198,7 @@ def config3(reps):
 
     b, nc = 128, 8
     n = 2 * nc
+    reps = max(reps, 200)   # see config2: sub-ms steps vs ~27 ms dispatch
     rng = np.random.default_rng(2)
     P = _spd(rng, b, n, np.float32)
     q = (rng.standard_normal((b, n)) * 0.5).astype(np.float32)
@@ -459,7 +463,9 @@ def config6(reps):
     P = _spd(rng, b, n, np.float32)
     q = rng.standard_normal((b, n)).astype(np.float32)
     Pj, qj = jnp.asarray(P), jnp.asarray(q)
-    cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=400)
+    # rho_update_period=24 as in the flagship bench: at N=96 a refactor is
+    # a whole batched inverse - the tuned schedule makes them vanish.
+    cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=400, rho_update_period=24)
 
     def loss(P, q):
         return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
@@ -502,16 +508,23 @@ def config6(reps):
     l, stats = jax.jit(
         lambda P, q: dq.solve_qp_with_stats(P, q, config=cfg)
     )(Pj, qj)
-    acc = _accuracy_vs_native("qp", np.float64, P, q, np.array(l))
-    return {
+    out = {
         "config": 6, "desc": f"B={b} N={n} dense QP fwd+bwd (chol engine)",
         "problems_per_sec": round(b / dt, 1),
         "setup_seconds": round(setup, 5),
         "setup_frac_of_step": round(setup / dt, 3),
         "mean_iters": round(float(np.mean(np.array(stats.iterations))), 2),
         "converged_frac": float(np.mean(np.array(stats.converged))),
-        "max_abs_err_vs_native_f64": acc,
     }
+    # accuracy referee: scipy NNLS (EXACT active-set solve). The native
+    # host solver - itself a first-order ADMM with dual-only stopping - is
+    # NOT a valid oracle at N=96 (its returned iterate was measured
+    # ~0.08 off the true solution while this solver sat at 1.6e-5).
+    nsub = 256
+    cols = _nnls_columns(P[:nsub], q[:nsub], np.array(l)[:nsub])
+    out.update(cols)
+    out["nnls_problems_checked"] = nsub
+    return out
 
 
 def config7(reps):

@@ -53,6 +53,27 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..config import SolverConfig
+from ..ops.linalg import newton_schulz_inverse
+
+
+def _spd_inverse_f32(A: Array) -> Array:
+    """Newton-Schulz inverse for large batched f32 SPD systems (the
+    backward solves beyond the QR kernel's m <= 88 bound).
+
+    XLA's batched Cholesky is column-serial on TPU (measured 22 ms at
+    (2048, 96, 96) vs ~1-2 ms for ~22 NS steps of pure MXU matmuls). K
+    carries no shift bound, so the init is I / ||A||_inf (max abs row
+    sum) - a RIGOROUS lmax upper bound (a power-iteration estimate can
+    undershoot and then NS diverges): e0 = 1 - lmin/||A||_inf, linear in
+    cond with at most sqrt(m) slack - 22 squaring steps cover cond to
+    ~1e4, beyond which f32 gradients are dominated by eps * cond
+    regardless of the solver (DESIGN.md section 9)."""
+    n = A.shape[-1]
+    hi = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)
+    x0 = (1.0 / jnp.maximum(hi, jnp.finfo(A.dtype).tiny))[:, None, None] * (
+        jnp.eye(n, dtype=A.dtype)[None]
+    )
+    return newton_schulz_inverse(A, iters=22, x0=x0)
 
 
 def _use_fused_kernel(P: Array, l: Array, cfg: SolverConfig) -> bool:
@@ -130,9 +151,13 @@ def _solve_direct(
 
         return qr_solve_pallas(A, rhs)
     if spd:
-        # SPD systems (the QP class's masked K): batched Cholesky, ~4x the
-        # speed of XLA's pivoted batched LU (DESIGN.md section 3) - this is
-        # what the N > 88 dense-QP backward runs on.
+        # SPD systems (the QP class's masked K). float32: Newton-Schulz
+        # inverse (MXU matmuls - this is what the N > 88 dense-QP backward
+        # runs on). float64 (CPU tests/oracles): batched Cholesky, ~4x
+        # XLA's pivoted batched LU (DESIGN.md section 3).
+        if rhs.dtype == jnp.float32:
+            return jnp.einsum("bij,bj->bi", _spd_inverse_f32(A), rhs,
+                              precision=jax.lax.Precision.HIGHEST)
         L = jnp.linalg.cholesky(A)
         x = jax.lax.linalg.triangular_solve(
             L, rhs[..., None], left_side=True, lower=True
@@ -676,12 +701,16 @@ def _qcqp_schur_vjp(
     D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(n, dtype=dtype)
     sigma = s * am + (1.0 - am)
 
-    L = jnp.linalg.cholesky(D)
     rhs = jnp.concatenate([g[..., None], Bt], axis=-1)              # (B, n, 1+nc)
-    X = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
-    X = jax.lax.linalg.triangular_solve(
-        L, X, left_side=True, lower=True, transpose_a=True
-    )
+    if dtype == jnp.float32:
+        X = jnp.einsum("bij,bjk->bik", _spd_inverse_f32(D), rhs,
+                        precision=jax.lax.Precision.HIGHEST)
+    else:
+        L = jnp.linalg.cholesky(D)
+        X = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+        X = jax.lax.linalg.triangular_solve(
+            L, X, left_side=True, lower=True, transpose_a=True
+        )
     y, W = X[..., 0], X[..., 1:]                    # D^{-1} g, D^{-1} B^T
     M = jnp.eye(nc, dtype=dtype) * sigma[:, :, None] - jnp.einsum(
         "bcn,bnk->bck", Ct, W

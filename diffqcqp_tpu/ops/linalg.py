@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+# TPU f32 matmuls default to bfloat16 passes; every matmul on a SOLVE path
+# must pin full f32 accumulation or inverses/solves silently carry ~1e-2
+# relative error (found on hardware: the NS-inverse engine was bf16-exact
+# and the N=96 solutions were 0.1 off).
+_HI = jax.lax.Precision.HIGHEST
+
 
 class Factorization(NamedTuple):
     """Spectral handle on a batch of SPD matrices.
@@ -63,8 +69,8 @@ def solve_shifted(fact: Factorization, rhs: Array, shift: Array) -> Array:
         return rhs / denom
     V = fact.eigvecs
     # V^T rhs: (B,N,N)^T @ (B,N)
-    coeff = jnp.einsum("bji,bj->bi", V, rhs)
-    return jnp.einsum("bij,bj->bi", V, coeff / denom)
+    coeff = jnp.einsum("bji,bj->bi", V, rhs, precision=_HI)
+    return jnp.einsum("bij,bj->bi", V, coeff / denom, precision=_HI)
 
 
 def chol_inverse_shifted(P: Array, shift: Array) -> Array:
@@ -91,7 +97,68 @@ def chol_inverse_shifted(P: Array, shift: Array) -> Array:
     inv_L = jax.lax.linalg.triangular_solve(
         L, jnp.broadcast_to(eye, P.shape), left_side=True, lower=True
     )
-    return jnp.einsum("bki,bkj->bij", inv_L, inv_L)
+    return jnp.einsum("bki,bkj->bij", inv_L, inv_L, precision=_HI)
+
+
+def newton_schulz_inverse(
+    M: Array, iters: int = 14, x0: Optional[Array] = None
+) -> Array:
+    """Explicit inverse of a batch of SPD matrices by Newton-Schulz
+    iteration: X <- X (2I - M X). Pure batched MATMULs - the MXU path.
+
+    Why: XLA's batched Cholesky on TPU runs column-serial (measured
+    22 ms for (2048, 96, 96) f32 - ~27 GFLOP/s), while the same chip
+    does batched matmuls at TFLOP rates; 12-16 NS steps (24-32 matmuls,
+    ~3.5 GFLOP each here) finish in ~1-2 ms. Convergence is quadratic
+    with e_{k+1} = e_k^2 from e_0 = ||I - M X0||_2 < 1; the scaled-SPD
+    init X0 = M / (||M||_1 ||M||_inf) guarantees e_0 < 1, and for the
+    engine's shifted matrices (cond(P + (rho+mu)I) modest by
+    construction) 12-14 steps reach f32 working accuracy. Passing the
+    PREVIOUS inverse as ``x0`` (a rho refactor changes only the shift)
+    cuts that to a few steps.
+
+    The iteration is self-correcting (errors contract quadratically), so
+    the final accuracy is ~eps * cond like a direct inverse. Use the
+    Cholesky path for f64 / ill-conditioned setups.
+    """
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+    if x0 is None:
+        norm1 = jnp.max(jnp.sum(jnp.abs(M), axis=-2), axis=-1)
+        norminf = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
+        x0 = M / jnp.maximum(norm1 * norminf, jnp.finfo(M.dtype).tiny)[
+            :, None, None
+        ]
+
+    def body(_, X):
+        MX = jnp.einsum("bij,bjk->bik", M, X, precision=_HI)
+        return jnp.einsum("bij,bjk->bik", X, 2.0 * eye - MX, precision=_HI)
+
+    return jax.lax.fori_loop(0, iters, body, x0)
+
+
+def ns_inverse_shifted(P: Array, shift: Array, iters: int = 18) -> Array:
+    """inv(P + shift*I) for SPD P via Newton-Schulz with the scalar init
+    X0 = 2/(lmin_bound + lmax_bound) I.
+
+    For M = P + shift*I, lmin(M) >= shift (P is PSD) and lmax(M) <=
+    ||M||_inf (max absolute row sum - RIGOROUS, unlike a power-iteration
+    estimate: an underestimated lmax puts eigenvalues of M X0 above 2 and
+    NS diverges to NaN, which is exactly what happened on problems whose
+    adaptive rho had dropped, shrinking the safety margin to under 1%).
+    e0 = ||I - M X0||_2 <= (hi - lo)/(hi + lo) < 1 always; the row-sum
+    bound costs at most sqrt(n) slack = ~1 extra squaring step. cond ~7
+    (the rho0 formula's regime) converges in ~7 steps; a rho driven 3
+    decades down (cond ~1e4, x10 slack) still fits in 18. 36 batched
+    matmuls at MXU rates vs XLA's column-serial batched Cholesky
+    (measured 22 ms for (2048, 96, 96) - ~20x slower).
+    """
+    M = P + shift[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)
+    lo = shift
+    hi = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
+    scale = 2.0 / (lo + hi)
+    x0 = scale[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)[None]
+    return newton_schulz_inverse(M, iters=iters, x0=x0)
 
 
 def power_iteration(P: Array, iters: int) -> Array:
@@ -149,10 +216,10 @@ def refine_solve(A: Array, b: Array, mu_ir: float, iters: int) -> Array:
 
     A: (B, M, K), b: (B, M) -> (B, K).
     """
-    G = jnp.einsum("bki,bkj->bij", A, A)
+    G = jnp.einsum("bki,bkj->bij", A, A, precision=_HI)
     G = G + mu_ir * jnp.eye(A.shape[-1], dtype=A.dtype)
     chol = jnp.linalg.cholesky(G)
-    Ab = jnp.einsum("bji,bj->bi", A, b)
+    Ab = jnp.einsum("bji,bj->bi", A, b, precision=_HI)
 
     def chol_solve(y):
         z = jax.lax.linalg.triangular_solve(

@@ -55,6 +55,7 @@ from ..ops.linalg import (
     chol_inverse_shifted,
     factorize,
     linf_norm,
+    ns_inverse_shifted,
     power_iteration,
     solve_shifted,
 )
@@ -117,17 +118,34 @@ def _use_chol(P: Array, cfg: SolverConfig) -> bool:
     return cfg.linsolve == "auto" and P.shape[-1] > 48
 
 
+def _make_inverse_fn(P: Array, dtype):
+    """shift (B,) -> inv(P + shift*I) for the chol engine mode.
+
+    float32: Newton-Schulz with the rigorous row-sum-bound init (pure MXU
+    matmuls - measured ~20x XLA's column-serial batched Cholesky at
+    (2048, 96)). float64: batched Cholesky (NS would need ~35 steps for
+    1e-16 and the f64 engine's duties are CPU tests / oracles where
+    cholesky is fine)."""
+    if dtype == jnp.float32:
+        return lambda shift: ns_inverse_shifted(P, shift)
+    return lambda shift: chol_inverse_shifted(P, shift)
+
+
 def _initial_state(
     fact: Factorization | None,
     P: Array,
     q: Array,
     warm_start: Array,
     cfg: SolverConfig,
+    inv_fn=None,
+    lmax: Array | None = None,
 ) -> ADMMState:
     B, _ = q.shape
     dtype = q.dtype
     use_chol = fact is None
-    if use_chol or cfg.lmax_method == "power":
+    if lmax is not None:
+        L = lmax
+    elif use_chol or cfg.lmax_method == "power":
         # chol mode has no spectral factorisation to read lmax from
         L = power_iteration(P, cfg.power_iters)
     else:
@@ -138,7 +156,7 @@ def _initial_state(
     tau = ratio**0.15                                      # Solver.cpp:73
     zeros = jnp.zeros_like(q)
     fact_inv = (
-        chol_inverse_shifted(P, rho.astype(dtype) + cfg.mu_prox)
+        inv_fn(rho.astype(dtype) + jnp.asarray(cfg.mu_prox, dtype))
         if use_chol
         else jnp.zeros((), dtype)
     )
@@ -221,7 +239,17 @@ def make_admm_step(
     (identical trajectories by construction)."""
     use_chol = _use_chol(P, cfg)
     fact = None if use_chol else factorize(P)
-    state0 = _initial_state(fact, P, q, warm_start, cfg)
+    if use_chol:
+        lmax_est = jnp.maximum(
+            power_iteration(P, cfg.power_iters),
+            jnp.asarray(cfg.mu_prox, q.dtype),
+        )
+        inv_fn = _make_inverse_fn(P, q.dtype)
+    else:
+        lmax_est, inv_fn = None, None
+    state0 = _initial_state(
+        fact, P, q, warm_start, cfg, inv_fn=inv_fn, lmax=lmax_est
+    )
     dtype = q.dtype
     eps = jnp.asarray(cfg.eps, dtype)
     mu_prox = jnp.asarray(cfg.mu_prox, dtype)
@@ -240,10 +268,13 @@ def make_admm_step(
         with jax.named_scope("admm_linear_solve"):
             rhs = rho_c * s.l2 - s.u - s.q_prox
             if use_chol:
-                # multiply+reduce, not a batched (N,N)@(N,1) dot_general
-                # (MXU pads the 1-wide operand to a full tile; measured
-                # 10-50x the arithmetic cost - see _pl_plus_q in diff/kkt)
-                l = jnp.sum(s.fact_inv * rhs[:, None, :], axis=-1)
+                # einsum (MXU dot_general): at the chol mode's N > 48 the
+                # measured order flips vs small N - (2048, 96) batched
+                # matvec is 0.01 ms on the MXU vs 0.09 ms as a VPU
+                # multiply+reduce (the N=24 10-50x padding penalty in
+                # CLAUDE.md does not apply at MXU-sized N).
+                l = jnp.einsum("bij,bj->bi", s.fact_inv, rhs,
+                               precision=jax.lax.Precision.HIGHEST)
             else:
                 l = solve_shifted(fact, rhs, s.rho + mu_prox)
         with jax.named_scope("admm_prox_dual"):
@@ -309,7 +340,7 @@ def make_admm_step(
                 # pallas kernel's tile-wide refactor).
                 fact_inv = jax.lax.cond(
                     jnp.any(app_inc | app_dec),
-                    lambda: chol_inverse_shifted(P, rho + mu_prox),
+                    lambda: inv_fn(rho + mu_prox),
                     lambda: s.fact_inv,
                 )
             else:

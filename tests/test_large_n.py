@@ -71,6 +71,48 @@ def test_large_n_qp_gradient_fd(rng, spd):
     assert abs(fd - g[i]) / max(abs(fd), 1e-12) < 1e-6
 
 
+def test_newton_schulz_inverse_f32(rng, spd):
+    """The f32 engine/backward inverse path: NS reaches f32 working
+    precision from both inits (spectral-shifted and 1/lmax)."""
+    from diffqcqp_tpu.diff.kkt import _spd_inverse_f32
+    from diffqcqp_tpu.ops.linalg import ns_inverse_shifted
+
+    b, n = 6, 96
+    P64 = np.asarray(spd(rng, b, n))
+    P = jnp.asarray(P64.astype(np.float32))
+    shift = jnp.full((b,), 0.5, jnp.float32)
+    inv = np.asarray(ns_inverse_shifted(P, shift), np.float64)
+    M = P64 + 0.5 * np.eye(n)
+    resid = np.max(np.abs(np.einsum("bij,bjk->bik", M, inv) - np.eye(n)))
+    assert resid < 5e-5
+
+    inv2 = np.asarray(_spd_inverse_f32(jnp.asarray(M.astype(np.float32))),
+                      np.float64)
+    resid2 = np.max(np.abs(np.einsum("bij,bjk->bik", M, inv2) - np.eye(n)))
+    assert resid2 < 5e-5
+
+
+def test_f32_chol_engine_matches_nnls(rng, spd):
+    """The f32 production path at N=96 (NS inverse engine + NS backward)
+    against the EXACT scipy NNLS oracle."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "benchmarks"
+    ))
+    from external_oracle import nnls_solve_batch
+
+    b, n = 16, 96
+    P = np.asarray(spd(rng, b, n)).astype(np.float32)
+    q = rng.standard_normal((b, n)).astype(np.float32)
+    cfg = dq.SolverConfig(eps=1e-7, max_iter=400, rho_update_period=24)
+    l, st = dq.solve_qp_with_stats(jnp.asarray(P), jnp.asarray(q), config=cfg)
+    assert bool(np.all(np.asarray(st.converged)))
+    exact = nnls_solve_batch(P, q)
+    assert np.max(np.abs(np.asarray(l, np.float64) - exact)) < 1e-4
+
+
 def test_qcqp_schur_matches_lu(rng, spd):
     """The Schur-complement backward (used when nc + n > 88) reproduces the
     direct-LU saddle solve on identical problems - compared on a SMALL
