@@ -87,25 +87,38 @@ def bench_tpu(b=4096, nc=12, eps=1e-7, max_iter=400, reps=40):
     big, one = make_loop(reps), make_loop(1)
     _ = float(big(P, q, l_n, mu))   # compile + warm
     _ = float(one(P, q, l_n, mu))
-    t0 = time.perf_counter()
-    _ = float(big(P, q, l_n, mu))
-    t_big = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(one(P, q, l_n, mu))
-    t_one = time.perf_counter() - t0
-    if t_big - t_one < 1e-4:
-        # differencing invalid (the difference sits at/below host-timer +
-        # tunnel noise, or is negative on a noisy host) - NEVER report a
-        # clamped-to-epsilon garbage number; fall back to the conservative
-        # undifferenced time and flag it.
-        print(
-            f"bench: differencing invalid (t_big={t_big:.4f}s "
-            f"t_one={t_one:.4f}s); reporting undifferenced time",
-            file=sys.stderr,
-        )
-        dt = t_big / reps
+    # The tunneled chip's effective speed drifts across calls (measured
+    # single-pass spread 0.60-1.09 ms/step on IDENTICAL code + trajectory,
+    # i.e. +-40% - tenancy/clock noise, not this program). One sample can
+    # misreport in either direction, so take the MEDIAN of several
+    # differenced passes (~0.1 s each).
+    samples = []
+    for _pass in range(5):
+        t0 = time.perf_counter()
+        _ = float(big(P, q, l_n, mu))
+        t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(one(P, q, l_n, mu))
+        t_one = time.perf_counter() - t0
+        if t_big - t_one >= 1e-4:
+            samples.append((t_big - t_one) / (reps - 1))
+        else:
+            # differencing invalid (difference at/below host-timer + tunnel
+            # noise) - never turn this pass into a clamped garbage number
+            print(
+                f"bench: pass {_pass} differencing invalid "
+                f"(t_big={t_big:.4f}s t_one={t_one:.4f}s); dropped",
+                file=sys.stderr,
+            )
+    if samples:
+        dt = float(np.median(samples))
     else:
-        dt = (t_big - t_one) / (reps - 1)
+        # all passes invalid: conservative undifferenced fallback
+        t0 = time.perf_counter()
+        _ = float(big(P, q, l_n, mu))
+        dt = (time.perf_counter() - t0) / reps
+        print("bench: all passes invalid; reporting undifferenced time",
+              file=sys.stderr)
 
     _, stats = jax.jit(lambda *a: solve_qcqp_with_stats(*a, config=cfg))(
         P, q, l_n, mu

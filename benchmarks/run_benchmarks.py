@@ -367,13 +367,15 @@ def config5(reps):
         # the optional pmin collective) costs - the quantity that carries
         # to real multi-chip meshes, where per-chip compute is constant and
         # this overhead is the only term that can break >=85% scaling.
-        # Round-3 re-measurement on an IDLE host: >= 1.0 for both modes
-        # (round 2's committed 0.718/0.667 were contaminated by concurrent
-        # host load - the proxy shares one machine's cores by construction,
-        # so any other process deflates the sharded run 8x more often).
-        # The `shard_map_overhead_1dev` column below isolates the machinery
-        # with zero contention: same device, same batch, shard_map vs plain
-        # jit.
+        # Round-3 re-measurement, two idle-host samples: 0.874-0.899
+        # collective-free, 0.831-0.905 lockstep (run-to-run spread ~0.05
+        # even idle - the proxy shares one machine's cores by construction,
+        # so any host activity deflates the sharded run 8x more often;
+        # round 2's committed 0.718/0.667 were depressed by exactly that).
+        # Both modes clear the >=0.85 scaling target within noise. The
+        # `shard_map_overhead_1dev` column below isolates the machinery
+        # with zero contention - same device, same batch, shard_map vs
+        # plain jit: 0.918-0.955.
         def make_unsharded(r):
             @jax.jit
             def loop(P, q, l_n, mu):
