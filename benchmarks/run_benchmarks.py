@@ -39,35 +39,48 @@ def _spd(rng, b, n, dtype):
     return s @ s.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=dtype)
 
 
-def _timed_loop(fn, args, reps, fn_one=None):
+def _timed_loop(fn, args, reps, fn_one=None, passes=3):
     """Compile, warm, then time `reps` on-device iterations.
 
     When ``fn_one`` (the same loop with reps=1) is given, the one-off
     dispatch/readback latency of the TPU tunnel (~25 ms, many times a step)
     is removed by differencing - the steady-state per-step time is what a
-    training loop actually pays."""
+    training loop actually pays. The MEDIAN of several differenced passes
+    is reported: the tunneled chip's effective speed drifts +-40%
+    call-to-call on identical code (see bench.py / CLAUDE.md), so one
+    sample can misreport in either direction."""
     _ = float(fn(*args))
-    t0 = time.perf_counter()
-    _ = float(fn(*args))
-    t_big = time.perf_counter() - t0
     if fn_one is None or reps < 2:
-        return t_big / reps
+        t0 = time.perf_counter()
+        _ = float(fn(*args))
+        return (time.perf_counter() - t0) / reps
     _ = float(fn_one(*args))
-    t0 = time.perf_counter()
-    _ = float(fn_one(*args))
-    t_one = time.perf_counter() - t0
-    if t_big - t_one < 1e-4:
-        # differencing invalid (the difference sits at/below host-timer +
-        # tunnel noise, or is negative): report the conservative
-        # undifferenced time rather than a clamped-to-epsilon garbage
-        # number.
-        print(
-            f"timing: differencing invalid (t_big={t_big:.4f}s, "
-            f"t_one={t_one:.4f}s); using undifferenced time",
-            file=sys.stderr,
-        )
-        return t_big / reps
-    return (t_big - t_one) / (reps - 1)
+    samples = []
+    for _pass in range(passes):
+        t0 = time.perf_counter()
+        _ = float(fn(*args))
+        t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(fn_one(*args))
+        t_one = time.perf_counter() - t0
+        if t_big - t_one >= 1e-4:
+            samples.append((t_big - t_one) / (reps - 1))
+        else:
+            # differencing invalid (the difference sits at/below
+            # host-timer + tunnel noise, or is negative): drop the pass
+            # rather than keep a clamped-to-epsilon garbage number.
+            print(
+                f"timing: pass {_pass} differencing invalid "
+                f"(t_big={t_big:.4f}s, t_one={t_one:.4f}s); dropped",
+                file=sys.stderr,
+            )
+    if not samples:
+        t0 = time.perf_counter()
+        _ = float(fn(*args))
+        print("timing: all passes invalid; using undifferenced time",
+              file=sys.stderr)
+        return (time.perf_counter() - t0) / reps
+    return float(np.median(samples))
 
 
 def _nnls_columns(P, q, l):
@@ -591,8 +604,83 @@ def config7(reps):
     return out
 
 
+def config8(reps):
+    """B=4096 mixed-conditioning QCQP forward - the straggler-compaction
+    operating point (SolverConfig.compact_iters; no reference analogue).
+
+    Per-problem regularisers d_i span 4 decades, so iteration counts are
+    long-tailed and every 512-lane tile pays its slowest problem;
+    compaction regroups the survivors after K iterations. Reports off/on
+    throughput at the tuned K plus the iteration-distribution shape that
+    makes the trade worthwhile (DESIGN.md section 8 has the economics:
+    the phase boundary costs ~230 us, one whole-batch iteration ~30 us)."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+
+    b, nc = 4096, 12
+    n = 2 * nc
+    reps = max(reps, 20)
+    rng = np.random.default_rng(8)
+    s = rng.standard_normal((b, n, n)).astype(np.float32) / np.sqrt(n)
+    A = s @ s.transpose(0, 2, 1)
+    d = (10.0 ** rng.uniform(-4, -0.5, b)).astype(np.float32)
+    P = A + d[:, None, None] * np.eye(n, dtype=np.float32)
+    q = (rng.standard_normal((b, n)) * 0.5).astype(np.float32)
+    l_n = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
+    mu = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
+    args = tuple(map(jnp.asarray, (P, q, l_n, mu)))
+    base = dq.QCQP_DEFAULTS.replace(
+        eps=1e-7, max_iter=400, rho0_scale=2.0, power_iters=10,
+        rho_update_period=24,
+    )
+
+    def make_loop(cfg, r):
+        @jax.jit
+        def loop(P, q, l_n, mu):
+            def body(k, acc):
+                return acc + jnp.sum(
+                    dq.solve_qcqp(P, q + 1e-5 * k, l_n, mu, config=cfg)
+                )
+            return jax.lax.fori_loop(0, r, body, 0.0)
+        return loop
+
+    _, stats = jax.jit(
+        lambda *a: dq.solve_qcqp_with_stats(*a, config=base)
+    )(*args)
+    it = np.array(stats.iterations)
+    out = {
+        "config": 8,
+        "desc": f"B={b} mixed-conditioning QCQP fwd (4-decade regulariser)",
+        "iters_mean": round(float(it.mean()), 1),
+        "iters_p50": int(np.median(it)),
+        "iters_max": int(it.max()),
+        "converged_frac": float(np.mean(np.array(stats.converged))),
+    }
+    dt0 = _timed_loop(make_loop(base, reps), args, reps, make_loop(base, 1))
+    out["problems_per_sec"] = round(b / dt0, 1)
+    K = max(int(np.median(it)) + 2, 1)    # just past the median
+    cfgK = base.replace(compact_iters=K)
+    dtK = _timed_loop(make_loop(cfgK, reps), args, reps, make_loop(cfgK, 1))
+    out["compact_iters"] = K
+    out["problems_per_sec_compacted"] = round(b / dtK, 1)
+    out["compaction_speedup"] = round(dt0 / dtK, 3)
+    lc, sc = jax.jit(
+        lambda *a: dq.solve_qcqp_with_stats(*a, config=cfgK)
+    )(*args)
+    l0 = jax.jit(lambda *a: dq.solve_qcqp(*a, config=base))(*args)
+    out["compaction_max_abs_diff"] = float(
+        np.max(np.abs(np.array(lc) - np.array(l0)))
+    )
+    out["compaction_converged_frac"] = float(
+        np.mean(np.array(sc.converged))
+    )
+    return out
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7}
+           6: config6, 7: config7, 8: config8}
 
 
 def main():

@@ -103,6 +103,33 @@ class SolverConfig:
         cuts mean iterations ~30% with identical solutions (the adaptive
         schedule converges to the same fixed point). A tuning knob, not a
         semantic change.
+      compact_iters: straggler compaction for the pallas backend. 0 (default)
+        = off. K > 0 splits the fused solve in two phases: phase 1 runs K
+        iterations on the natural batch order, then the still-unconverged
+        problems - known exactly at that point, unlike any pre-solve
+        difficulty predictor (none works; DESIGN.md) - are grouped into as
+        few lane-tiles as possible (sorted converged-last, then by dual
+        residual so similar difficulty shares a tile) and phase 2 resumes
+        them from carried state (l2, u, q_prox, rho, taus, counters).
+        Rationale: convergence is tile-synchronous, so each tile pays its
+        SLOWEST problem; compaction makes only ceil(unconverged/tile_b)
+        tiles pay the iteration tail instead of all of them, and
+        all-converged tiles exit phase 2 without factorising. The
+        compacted solve runs the IDENTICAL per-problem update rule and
+        rho schedule (state resumes exactly; the rho-update grid stays on
+        global iterations via a static offset - without it the dual-only
+        stopping rule exited measurably looser, 2.7e-3 vs 1.1e-4 against
+        a tight solve); solutions agree with the single-phase solve to
+        solve tolerance. (Not bitwise: the resume kernel is a separate
+        Mosaic compilation whose FMA contraction may differ by 1 ulp per
+        step - measured 6e-7 after one resumed iteration with an identity
+        permutation.) Measured economics in DESIGN.md
+        section 8: the phase boundary costs ~230 us at B=4096 N=24, one
+        whole-batch iteration ~30 us, so enable it (K ~ just past the
+        iteration-count median) only when the iteration distribution has
+        a LONG tail - tile-max >> mean, e.g. heterogeneous conditioning;
+        on the tuned flagship distribution it is net negative. Ignored by
+        the XLA engine.
       equilibrate: Ruiz-rescale each problem (ops/equilibrate.py) before
         solving and map the solution back - an algorithmic improvement the
         reference lacks, essential for its own pathologically-conditioned
@@ -135,6 +162,7 @@ class SolverConfig:
     stall_tol: float = 8.0
     rho_sync: bool = True
     rho0_scale: float = 1.0
+    compact_iters: int = 0
     equilibrate: bool = False
     ruiz_iters: int = 10
 

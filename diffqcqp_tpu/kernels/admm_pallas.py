@@ -60,19 +60,36 @@ PROX_BOX = 1
 PROX_SIGNED_BOX = 2
 PROX_DISK = 3
 
+# Carried-state layout for the two-phase (straggler-compaction) solve.
+# One (2n, tb) vector plane: rows [0, n) = u, [n, 2n) = q_prox (l2 rides in
+# the warm-start input slot); one (16, tb) scalar-row plane:
+_SROW_RHO, _SROW_TAU_INC, _SROW_TAU_DEC, _SROW_RHO_UP, _SROW_CPT = 0, 1, 2, 3, 4
+_SROW_CONV, _SROW_STALL, _SROW_ITERS, _SROW_RESP, _SROW_RESD = 5, 6, 7, 8, 9
+_SCAL_ROWS = 16                      # 10 used + 6 sublane-alignment pad
+
 
 def _admm_chol_kernel(
-    # inputs (VMEM refs)
-    p_ref, q_ref, ws_ref,
-    a_ref, b_ref, c_ref,            # prox params (see wrapper)
-    # outputs
-    l2_out, iters_out, resp_out, resd_out, rho_out, conv_out, stall_out,
-    # scratch
-    lc_ref,                          # (n, n, tb) Cholesky factor
-    *,
+    *refs,
     n: int, n_real: int, nc: int, prox_kind: int, cfg: SolverConfig,
     qcqp_stopping: bool, damp_both: bool,
+    state_in: bool = False, state_out: bool = False, it_offset: int = 0,
 ):
+    # positional refs (pallas passes inputs, then outputs, then scratch):
+    #   p, q, ws, a, b, c, [svec_in, srow_in],
+    #   l2, iters, resp, resd, rho, conv, stall, [svec_out, srow_out], lc
+    refs = list(refs)
+    p_ref, q_ref, ws_ref, a_ref, b_ref, c_ref = refs[:6]
+    del refs[:6]
+    if state_in:
+        svec_in, srow_in = refs[:2]
+        del refs[:2]
+    (l2_out, iters_out, resp_out, resd_out, rho_out, conv_out,
+     stall_out) = refs[:7]
+    del refs[:7]
+    if state_out:
+        svec_out, srow_out = refs[:2]
+        del refs[:2]
+    (lc_ref,) = refs
     f32 = jnp.float32
     eps = f32(cfg.eps)
     mu_prox = f32(cfg.mu_prox)
@@ -97,19 +114,22 @@ def _admm_chol_kernel(
             acc += p_ref[:, k, :] * x[k : k + 1, :]
         return acc
 
-    # ---- power iteration for L (reference: Solver.cpp:46-59, fixed count)
-    v = zeros_nv + jnp.where(
-        row_idx < n_real, f32(1.0 / np.sqrt(n_real)), f32(0.0)
-    ).astype(f32)
-    for _ in range(cfg.power_iters):
-        av = matvec_p(v)
-        nrm = jnp.sqrt(jnp.sum(av * av, axis=0, keepdims=True))
-        v = av / jnp.maximum(nrm, tiny)
-    L = jnp.sum(v * matvec_p(v), axis=0, keepdims=True)
-    L = jnp.maximum(L, mu_prox)
-    ratio = L / mu_prox
-    rho0 = jnp.sqrt(mu_prox * L) * jnp.power(ratio, f32(0.4)) * f32(cfg.rho0_scale)
-    tau0 = jnp.power(ratio, f32(0.15))
+    if not state_in:
+        # ---- power iteration for L (reference: Solver.cpp:46-59, fixed
+        # count). Skipped entirely on resume: rho and the taus - the only
+        # quantities derived from L - are carried in the state rows.
+        v = zeros_nv + jnp.where(
+            row_idx < n_real, f32(1.0 / np.sqrt(n_real)), f32(0.0)
+        ).astype(f32)
+        for _ in range(cfg.power_iters):
+            av = matvec_p(v)
+            nrm = jnp.sqrt(jnp.sum(av * av, axis=0, keepdims=True))
+            v = av / jnp.maximum(nrm, tiny)
+        L = jnp.sum(v * matvec_p(v), axis=0, keepdims=True)
+        L = jnp.maximum(L, mu_prox)
+        ratio = L / mu_prox
+        rho0 = jnp.sqrt(mu_prox * L) * jnp.power(ratio, f32(0.4)) * f32(cfg.rho0_scale)
+        tau0 = jnp.power(ratio, f32(0.15))
 
     def factorize(shift):
         """lc_ref <- chol(P + diag(shift)), shift (1, tb), per lane.
@@ -178,25 +198,56 @@ def _admm_chol_kernel(
             parts.append(x[2 * nc :, :])
         return jnp.concatenate(parts, axis=0)
 
-    factorize(rho0 + mu_prox)
+    if state_in:
+        # resume from carried state (two-phase straggler compaction). A
+        # tile whose every lane already converged skips the factorisation
+        # AND the loop body (all_done starts true): its cost is just the
+        # HBM loads of its blocks.
+        rho_in = srow_in[_SROW_RHO : _SROW_RHO + 1, :]
+        conv_in = srow_in[_SROW_CONV : _SROW_CONV + 1, :]
+        start_done = jnp.min(conv_in) > f32(0.5)
 
-    state = (
-        jnp.zeros((), jnp.int32),           # it
-        ws_ref[:],                           # l2
-        zeros_nv,                            # u
-        q,                                   # q_prox
-        rho0,                                # rho
-        tau0,                                # tau_inc
-        tau0,                                # tau_dec
-        zeros_1,                             # rho_up  (f32 {-1,0,1})
-        zeros_1,                             # cpt     (f32 counter)
-        zeros_1,                             # converged (f32 0/1)
-        zeros_1,                             # stalled (f32 0/1)
-        zeros_1,                             # iters   (f32 counter)
-        zeros_1 + f32(jnp.inf),              # res_prim
-        zeros_1 + f32(jnp.inf),              # res_dual
-        jnp.zeros((), jnp.bool_),            # all_done
-    )
+        @pl.when(~start_done)
+        def _():
+            factorize(rho_in + mu_prox)
+
+        state = (
+            jnp.zeros((), jnp.int32),                        # it
+            ws_ref[:],                                        # l2 (carried)
+            svec_in[:n, :],                                   # u
+            svec_in[n : 2 * n, :],                            # q_prox
+            rho_in,                                           # rho
+            srow_in[_SROW_TAU_INC : _SROW_TAU_INC + 1, :],    # tau_inc
+            srow_in[_SROW_TAU_DEC : _SROW_TAU_DEC + 1, :],    # tau_dec
+            srow_in[_SROW_RHO_UP : _SROW_RHO_UP + 1, :],      # rho_up
+            srow_in[_SROW_CPT : _SROW_CPT + 1, :],            # cpt
+            conv_in,                                          # converged
+            srow_in[_SROW_STALL : _SROW_STALL + 1, :],        # stalled
+            srow_in[_SROW_ITERS : _SROW_ITERS + 1, :],        # iters
+            srow_in[_SROW_RESP : _SROW_RESP + 1, :],          # res_prim
+            srow_in[_SROW_RESD : _SROW_RESD + 1, :],          # res_dual
+            start_done,                                       # all_done
+        )
+    else:
+        factorize(rho0 + mu_prox)
+
+        state = (
+            jnp.zeros((), jnp.int32),           # it
+            ws_ref[:],                           # l2
+            zeros_nv,                            # u
+            q,                                   # q_prox
+            rho0,                                # rho
+            tau0,                                # tau_inc
+            tau0,                                # tau_dec
+            zeros_1,                             # rho_up  (f32 {-1,0,1})
+            zeros_1,                             # cpt     (f32 counter)
+            zeros_1,                             # converged (f32 0/1)
+            zeros_1,                             # stalled (f32 0/1)
+            zeros_1,                             # iters   (f32 counter)
+            zeros_1 + f32(jnp.inf),              # res_prim
+            zeros_1 + f32(jnp.inf),              # res_dual
+            jnp.zeros((), jnp.bool_),            # all_done
+        )
 
     def cond(s):
         return (s[0] < cfg.max_iter) & ~s[14]
@@ -272,7 +323,18 @@ def _admm_chol_kernel(
                 # computing masked no-ops every iteration. cpt (unused for
                 # gating in sync mode, not an output) is only maintained on
                 # those iterations.
-                period_ok = (it % cfg.rho_update_period == 0) & (it > 0)
+                # it_offset (static) keeps the GLOBAL iteration count
+                # across a two-phase resume, so the sync-mode rho schedule
+                # of a compacted solve is identical to the single-phase
+                # one by construction (refactors recompute pure functions
+                # of (P, rho), so tile regrouping cannot change the
+                # trajectory - only the gate's phase could, and this pins
+                # it). Without the offset, a phase-2 restart shifts the
+                # update grid and the dual-only stopping rule can exit at
+                # a visibly looser point (measured 2.7e-3 vs 1.1e-4 error
+                # against a tight solve at K=1, eps=1e-6).
+                git = it + it_offset
+                period_ok = (git % cfg.rho_update_period == 0) & (git > 0)
                 (tau_inc_n, tau_dec_n, rho_n, rho_up_n, cpt_n,
                  any_change) = jax.lax.cond(
                     period_ok,
@@ -330,6 +392,15 @@ def _admm_chol_kernel(
     rho_out[:] = final[4]
     conv_out[:] = final[9]
     stall_out[:] = final[10]
+    if state_out:
+        # full-plane stores (Mosaic: no partial-row writes)
+        svec_out[:] = jnp.concatenate([final[2], final[3]], axis=0)
+        srow_out[:] = jnp.concatenate(
+            [final[4], final[5], final[6], final[7], final[8], final[9],
+             final[10], final[11], final[12], final[13]]
+            + [zeros_1] * (_SCAL_ROWS - 10),
+            axis=0,
+        )
 
 
 def admm_solve_pallas(
@@ -369,37 +440,44 @@ def admm_solve_pallas(
     tb = vmem_tile_b(n_pad, min(tile_b, _round_up(B, _LANES)))
     Bp = _round_up(B, tb)
 
-    # kernels/layout.py: padded coords get an identity diagonal, padded
-    # problems P = I (they solve trivially to 0 since their q = 0).
-    P_k = pack_P(P, n_pad, Bp, perm=perm)
-
     def to_kernel_vec(x, fill=0.0):
         if perm is not None:
             x = x[:, perm]
         return pack_vec(x, n_pad, Bp, fill=fill)
 
-    q_kk = to_kernel_vec(q)
-    ws_kk = to_kernel_vec(warm_start)
-
     zero_plane = jnp.zeros((n_pad, Bp), f32)
-    if prox_kind == PROX_BOX:
-        a_k = to_kernel_vec(prox_args[0], fill=-1.0)
-        b_k = to_kernel_vec(prox_args[1], fill=1.0)
-        c_k = zero_plane
-    elif prox_kind == PROX_SIGNED_BOX:
-        a_k = to_kernel_vec(prox_args[0], fill=-1.0)
-        b_k = to_kernel_vec(prox_args[1], fill=1.0)
-        c_k = to_kernel_vec(prox_args[2], fill=0.0)
-    elif prox_kind == PROX_DISK:
-        # (B, nc) radii sit in the FIRST nc sublane rows of an (n_pad, Bp)
-        # plane (kernel reads a_ref[:nc, :]); no coordinate permutation.
-        a_k = pack_vec(prox_args[0], n_pad, Bp)
-        b_k = zero_plane
-        c_k = zero_plane
-    else:
-        a_k = zero_plane
-        b_k = zero_plane
-        c_k = zero_plane
+
+    def pack_inputs(Pu, qu, pa):
+        """Kernel planes for (possibly batch-permuted) UNPACKED inputs.
+
+        kernels/layout.py: padded coords get an identity diagonal, padded
+        problems P = I (they solve trivially to 0 since their q = 0).
+        """
+        P_b = pack_P(Pu, n_pad, Bp, perm=perm)
+        q_b = to_kernel_vec(qu)
+        if prox_kind == PROX_BOX:
+            a_b = to_kernel_vec(pa[0], fill=-1.0)
+            b_b = to_kernel_vec(pa[1], fill=1.0)
+            c_b = zero_plane
+        elif prox_kind == PROX_SIGNED_BOX:
+            a_b = to_kernel_vec(pa[0], fill=-1.0)
+            b_b = to_kernel_vec(pa[1], fill=1.0)
+            c_b = to_kernel_vec(pa[2], fill=0.0)
+        elif prox_kind == PROX_DISK:
+            # (B, nc) radii sit in the FIRST nc sublane rows of an
+            # (n_pad, Bp) plane (kernel reads a_ref[:nc, :]); no
+            # coordinate permutation.
+            a_b = pack_vec(pa[0], n_pad, Bp)
+            b_b = zero_plane
+            c_b = zero_plane
+        else:
+            a_b = zero_plane
+            b_b = zero_plane
+            c_b = zero_plane
+        return P_b, q_b, a_b, b_b, c_b
+
+    P_k, q_kk, a_k, b_k, c_k = pack_inputs(P, q, prox_args)
+    ws_kk = to_kernel_vec(warm_start)
 
     grid = (Bp // tb,)
     vec_spec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -407,32 +485,103 @@ def admm_solve_pallas(
     mat_spec = pl.BlockSpec(
         (n_pad, n_pad, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
-
-    kernel = functools.partial(
-        _admm_chol_kernel,
-        n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg,
-        qcqp_stopping=qcqp_stopping, damp_both=damp_both,
+    svec_spec = pl.BlockSpec(
+        (2 * n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    l2_k, iters_k, resp_k, resd_k, rho_k, conv_k, stall_k = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[mat_spec, vec_spec, vec_spec, vec_spec, vec_spec, vec_spec],
-        out_specs=(
-            vec_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
-            row_spec,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, Bp), f32),
-            jax.ShapeDtypeStruct((1, Bp), f32),    # iters (f32 in-kernel)
-            jax.ShapeDtypeStruct((1, Bp), f32),
-            jax.ShapeDtypeStruct((1, Bp), f32),
-            jax.ShapeDtypeStruct((1, Bp), f32),    # final rho
-            jax.ShapeDtypeStruct((1, Bp), f32),    # converged mask (f32)
-            jax.ShapeDtypeStruct((1, Bp), f32),    # stalled mask (f32)
-        ),
-        scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tb), f32)],
-        interpret=interpret,
-    )(P_k, q_kk, ws_kk, a_k, b_k, c_k)
+    srow_spec = pl.BlockSpec(
+        (_SCAL_ROWS, tb), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    def call(cfg_k, P_b, q_b, ws_b, a_b, b_b, c_b, svec=None, srow=None,
+             state_out=False, it_offset=0):
+        state_in = svec is not None
+        kernel = functools.partial(
+            _admm_chol_kernel,
+            n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg_k,
+            qcqp_stopping=qcqp_stopping, damp_both=damp_both,
+            state_in=state_in, state_out=state_out, it_offset=it_offset,
+        )
+        in_specs = [mat_spec] + [vec_spec] * 5
+        inputs = [P_b, q_b, ws_b, a_b, b_b, c_b]
+        if state_in:
+            in_specs += [svec_spec, srow_spec]
+            inputs += [svec, srow]
+        out_specs = [vec_spec] + [row_spec] * 6
+        out_shape = [jax.ShapeDtypeStruct((n_pad, Bp), f32)] + [
+            jax.ShapeDtypeStruct((1, Bp), f32)
+        ] * 6   # iters, res_prim, res_dual, rho, converged, stalled
+        if state_out:
+            out_specs += [svec_spec, srow_spec]
+            out_shape += [
+                jax.ShapeDtypeStruct((2 * n_pad, Bp), f32),
+                jax.ShapeDtypeStruct((_SCAL_ROWS, Bp), f32),
+            ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tb), f32)],
+            interpret=interpret,
+        )(*inputs)
+
+    K = cfg.compact_iters
+    if 0 < K < cfg.max_iter and Bp > tb:
+        # Two-phase straggler compaction (see SolverConfig.compact_iters):
+        # convergence is tile-synchronous, so each tile pays its slowest
+        # lane. Phase 1 runs K iterations; the survivors - known exactly,
+        # where no pre-solve difficulty predictor works - are packed into
+        # as few tiles as possible (converged last; among survivors,
+        # largest dual residual first so similar difficulty shares a tile)
+        # and resumed from full carried state. All-converged tiles skip
+        # factorisation and loop in phase 2.
+        (l2_1, it_1, rp_1, rd_1, rho_1, cv_1, st_1, svec_1, srow_1) = call(
+            cfg.replace(max_iter=K), P_k, q_kk, ws_kk, a_k, b_k, c_k,
+            state_out=True,
+        )
+        key = jnp.where(cv_1[0] > 0.5, jnp.inf, -rd_1[0])
+        bperm = jnp.argsort(key)            # stable: batch padding last
+        inv_bperm = jnp.argsort(bperm)
+
+        # Gather-cost note (measured, B=4096 N=24): a lane-axis take of
+        # the packed (n, n, Bp) P plane is 219 us - half a forward solve -
+        # while an axis-0 take of the batch-major ORIGINAL (contiguous
+        # rows) followed by the same pack as phase 1 is ~24 us. So the
+        # dense inputs are re-packed from permuted originals, and the
+        # lane-major state planes ride through one combined
+        # transpose/row-take/transpose (~10 us). bperm[:B] indexes only
+        # real problems: every padded lane (P=I, q=0) converges on its
+        # first iteration, so padding sorts into the tail; a real
+        # converged problem displaced past position B gets padding
+        # P=I/q=0 in phase 2, which is sound - converged lanes never
+        # read their problem data again (active=0 freezes them).
+        bperm_b = bperm[:B]
+        P_k2, q_k2, a_k2, b_k2, c_k2 = pack_inputs(
+            jnp.take(P, bperm_b, axis=0),
+            jnp.take(q, bperm_b, axis=0),
+            tuple(jnp.take(x, bperm_b, axis=0) for x in prox_args),
+        )
+        comb = jnp.concatenate([l2_1, svec_1, srow_1], axis=0)
+        comb = jnp.take(comb.T, bperm, axis=0).T
+        ws_2 = comb[:n_pad]
+        svec_2 = comb[n_pad : 3 * n_pad]
+        srow_2 = comb[3 * n_pad :]
+        outs2 = call(
+            cfg.replace(max_iter=cfg.max_iter - K),
+            P_k2, q_k2, ws_2, a_k2, b_k2, c_k2, svec=svec_2, srow=srow_2,
+            it_offset=K,
+        )
+        comb_o = jnp.concatenate([outs2[0]] + list(outs2[1:]), axis=0)
+        comb_o = jnp.take(comb_o.T, inv_bperm, axis=0).T
+        l2_k = comb_o[:n_pad]
+        (iters_k, resp_k, resd_k, rho_k, conv_k, stall_k) = tuple(
+            comb_o[n_pad + i : n_pad + i + 1] for i in range(6)
+        )
+    else:
+        l2_k, iters_k, resp_k, resd_k, rho_k, conv_k, stall_k = call(
+            cfg, P_k, q_kk, ws_kk, a_k, b_k, c_k
+        )
 
     l2 = unpack_vec(l2_k, B, n, inv=inv)
     stats = SolveStats(
