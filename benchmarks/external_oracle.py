@@ -162,7 +162,12 @@ def _dual_newton_polish(P, q, radii, x, iters=60):
         psi = np.array([
             l[2 * i] ** 2 + l[2 * i + 1] ** 2 - radii[i] ** 2 for i in act
         ])
-        if len(act) == 0 or np.max(np.abs(psi)) < 1e-30:
+        # psi is in units of r^2: stop at the f64 floor RELATIVE to that
+        # scale (an absolute 1e-30 is unreachable and silently ran the
+        # quadratically-convergent loop to its full iteration budget)
+        if len(act) == 0 or np.max(np.abs(psi)) < 1e-14 * max(
+            float(np.max(radii[list(act)] ** 2)), 1e-300
+        ):
             break
         J = np.empty((len(act), len(act)))
         for kj, j in enumerate(act):

@@ -656,16 +656,10 @@ def qcqp_vjp(
         # against the LU path in tests/test_qcqp.py.
         return _qcqp_schur_vjp(P, l, g, s, am, duals.gamma, nc, n)
 
-    # Assemble S^T = [[diag(s), C^T], [B^T, D]] DIRECTLY (each block is a
-    # masked broadcast; D is symmetric), avoiding a batched trailing-dims
-    # transpose. S's blocks: C (n, nc) column i = 2 l_(i) in rows (2i, 2i+1),
-    # B = diag(gamma) C^T, D = P + blockdiag(2 gamma_i I_2), masked by am.
-    contact_of = jnp.arange(n) // 2                     # (n,)
-    sel_T = (jnp.arange(nc)[:, None] == contact_of[None, :]).astype(l.dtype)
-    Ct = 2.0 * l[:, None, :] * sel_T * am[:, :, None]                 # (B, nc, n)
-    Bt = 2.0 * l[:, :, None] * sel_T.T * (duals.gamma * am)[:, None, :]  # (B, n, nc)
-    gamma_per_coord = jnp.repeat(duals.gamma, 2, axis=-1)     # (B, n)
-    D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(n, dtype=l.dtype)
+    # Assemble S^T DIRECTLY (each block a masked broadcast; D symmetric),
+    # avoiding a batched trailing-dims transpose - blocks shared with the
+    # Schur path via _qcqp_kkt_blocks.
+    Ct, Bt, D = _qcqp_kkt_blocks(P, l, duals.gamma, am, nc, n)
 
     top = jnp.concatenate(
         [jnp.eye(nc, dtype=l.dtype) * (s * am + (1.0 - am))[:, :, None], Ct],
@@ -676,6 +670,25 @@ def qcqp_vjp(
     rhs = jnp.concatenate([jnp.zeros((B_, nc), l.dtype), g], axis=-1)
     x = _solve_direct(ST, rhs, cfg)
     return QCQPVJP(dl=x[:, nc:], dgamma=x[:, :nc] * am, gamma=duals.gamma)
+
+
+def _qcqp_kkt_blocks(P, l, gamma, am, nc: int, n: int):
+    """Shared block assembly of the transposed differentiated-KKT system
+    S^T = [[diag(sigma), C^T], [B^T, D]] (masked by the active set am):
+    C (n, nc) column i = 2 l_(i) in rows (2i, 2i+1); B = diag(gamma) C^T;
+    D = P + blockdiag(2 gamma_i I_2). One definition for both the direct
+    (m <= 88) and Schur (m > 88) paths so a masking-convention fix cannot
+    diverge between them."""
+    dtype = l.dtype
+    contact_of = jnp.arange(n) // 2                     # (n,)
+    sel_T = (jnp.arange(nc)[:, None] == contact_of[None, :]).astype(dtype)
+    Ct = 2.0 * l[:, None, :] * sel_T * am[:, :, None]               # (B, nc, n)
+    Bt = 2.0 * l[:, :, None] * sel_T.T * (gamma * am)[:, None, :]   # (B, n, nc)
+    gamma_per_coord = jnp.repeat(gamma, 2, axis=-1)                 # (B, n)
+    D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(
+        n, dtype=dtype
+    )
+    return Ct, Bt, D
 
 
 def _qcqp_schur_vjp(
@@ -691,14 +704,8 @@ def _qcqp_schur_vjp(
     with D = P + blockdiag(2 gamma_i I_2) SPD (one batched Cholesky, nc+1
     simultaneous right-hand sides) and an nc x nc system - never a
     (nc+n)^3 pivoted LU."""
-    B_ = l.shape[0]
     dtype = l.dtype
-    contact_of = jnp.arange(n) // 2
-    sel_T = (jnp.arange(nc)[:, None] == contact_of[None, :]).astype(dtype)
-    Ct = 2.0 * l[:, None, :] * sel_T * am[:, :, None]               # (B, nc, n)
-    Bt = 2.0 * l[:, :, None] * sel_T.T * (gamma * am)[:, None, :]   # (B, n, nc)
-    gamma_per_coord = jnp.repeat(gamma, 2, axis=-1)
-    D = _as_dense(P) + 2.0 * gamma_per_coord[:, :, None] * jnp.eye(n, dtype=dtype)
+    Ct, Bt, D = _qcqp_kkt_blocks(P, l, gamma, am, nc, n)
     sigma = s * am + (1.0 - am)
 
     rhs = jnp.concatenate([g[..., None], Bt], axis=-1)              # (B, n, 1+nc)

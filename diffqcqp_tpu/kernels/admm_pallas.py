@@ -65,7 +65,8 @@ PROX_DISK = 3
 # the warm-start input slot); one (16, tb) scalar-row plane:
 _SROW_RHO, _SROW_TAU_INC, _SROW_TAU_DEC, _SROW_RHO_UP, _SROW_CPT = 0, 1, 2, 3, 4
 _SROW_CONV, _SROW_STALL, _SROW_ITERS, _SROW_RESP, _SROW_RESD = 5, 6, 7, 8, 9
-_SCAL_ROWS = 16                      # 10 used + 6 sublane-alignment pad
+_SROW_RHO_REC = 10                   # rho the recorded residuals used
+_SCAL_ROWS = 16                      # 11 used + 5 sublane-alignment pad
 
 
 def _admm_chol_kernel(
@@ -226,6 +227,7 @@ def _admm_chol_kernel(
             srow_in[_SROW_ITERS : _SROW_ITERS + 1, :],        # iters
             srow_in[_SROW_RESP : _SROW_RESP + 1, :],          # res_prim
             srow_in[_SROW_RESD : _SROW_RESD + 1, :],          # res_dual
+            srow_in[_SROW_RHO_REC : _SROW_RHO_REC + 1, :],    # rho_rec
             start_done,                                       # all_done
         )
     else:
@@ -246,15 +248,16 @@ def _admm_chol_kernel(
             zeros_1,                             # iters   (f32 counter)
             zeros_1 + f32(jnp.inf),              # res_prim
             zeros_1 + f32(jnp.inf),              # res_dual
+            rho0,                                # rho_rec (see rho_out)
             jnp.zeros((), jnp.bool_),            # all_done
         )
 
     def cond(s):
-        return (s[0] < cfg.max_iter) & ~s[14]
+        return (s[0] < cfg.max_iter) & ~s[15]
 
     def body(s):
         (it, l2, u, q_prox, rho, tau_inc, tau_dec, rho_up, cpt,
-         conv, stall, iters, resp, resd, _) = s
+         conv, stall, iters, resp, resd, rho_rec, _) = s
         active = 1.0 - conv
 
         l = solve_normal(rho * l2 - u - q_prox)
@@ -373,6 +376,13 @@ def _admm_chol_kernel(
         # residuals - so solutions/convergence were always correct).
         resp_o = jnp.where(keep > 0.5, rp, resp)
         resd_o = jnp.where(keep > 0.5, rd, resd)
+        # the rho these residuals were computed with (rd = rho * delta,
+        # the ENTRY carry) - frozen with them, BEFORE this iteration's
+        # update: on a max_iter-capped problem whose last iteration fires
+        # a rho update, the carry leaves already multiplied by tau
+        # (measured up to 16x) and would break the stationarity-bound
+        # reconstruction delta = res_dual / rho.
+        rho_rec_o = jnp.where(keep > 0.5, rho, rho_rec)
         conv_o = jnp.maximum(conv, active * newly)
         # eps-certified vs noise-floor stall (SolveStats.stalled)
         stall_o = jnp.maximum(
@@ -382,23 +392,26 @@ def _admm_chol_kernel(
         done = jnp.min(conv_o) > 0.5
 
         return (it + 1, l2_o, u_o, qp_o, rho_n, tau_inc_n, tau_dec_n,
-                rho_up_n, cpt_n, conv_o, stall_o, iters_o, resp_o, resd_o, done)
+                rho_up_n, cpt_n, conv_o, stall_o, iters_o, resp_o, resd_o,
+                rho_rec_o, done)
 
     final = jax.lax.while_loop(cond, body, state)
     l2_out[:] = final[1]
     iters_out[:] = final[11]
     resp_out[:] = final[12]
     resd_out[:] = final[13]
-    rho_out[:] = final[4]
+    rho_out[:] = final[14]       # residual-consistent rho (NOT the carry)
     conv_out[:] = final[9]
     stall_out[:] = final[10]
     if state_out:
         # full-plane stores (Mosaic: no partial-row writes)
         svec_out[:] = jnp.concatenate([final[2], final[3]], axis=0)
+        # row _SROW_RHO carries the LIVE penalty (phase 2 resumes with
+        # it); row _SROW_RHO_REC the residual-consistent one for stats.
         srow_out[:] = jnp.concatenate(
             [final[4], final[5], final[6], final[7], final[8], final[9],
-             final[10], final[11], final[12], final[13]]
-            + [zeros_1] * (_SCAL_ROWS - 10),
+             final[10], final[11], final[12], final[13], final[14]]
+            + [zeros_1] * (_SCAL_ROWS - 11),
             axis=0,
         )
 

@@ -77,6 +77,12 @@ class ADMMState(NamedTuple):
     iters: Array         # (B,) int32: per-problem iterations actually run
     res_prim: Array      # (B,) last primal residual
     res_dual: Array      # (B,) last dual residual
+    rho_res: Array       # (B,) the rho the recorded residuals were computed
+                         # WITH (frozen with them). NOT always the final
+                         # penalty: a max_iter-capped problem whose last
+                         # iteration fires a rho update leaves `rho` already
+                         # multiplied by tau (measured up to 16x) while the
+                         # residuals predate the update.
     all_done: Array      # scalar bool (globally reduced when sharded)
     fact_inv: Array      # (B, N, N) inverse of P+(rho+mu)I (linsolve='chol'
                          # mode, refactored on rho-change iterations);
@@ -90,7 +96,10 @@ class SolveStats(NamedTuple):
     iterations: Array    # (B,) int32
     res_prim: Array      # (B,)
     res_dual: Array      # (B,)
-    rho: Array           # (B,) final penalty parameter - with res_prim it
+    rho: Array           # (B,) the penalty the recorded residuals were
+                         # computed with (NOT the post-final-update value,
+                         # which can differ by tau on a capped solve whose
+                         # last iteration fires an update) - with res_prim it
                          # makes the returned iterate's stationarity bound
                          # computable (verify.stationarity_bound): the ADMM
                          # optimality identity gives ||Pl2+q+J'g||_inf <=
@@ -177,6 +186,7 @@ def _initial_state(
         iters=jnp.zeros((B,), jnp.int32),
         res_prim=jnp.full((B,), jnp.inf, dtype),
         res_dual=jnp.full((B,), jnp.inf, dtype),
+        rho_res=rho.astype(dtype),
         all_done=jnp.zeros((), bool),
     )
 
@@ -216,7 +226,7 @@ def admm_solve(
         iterations=final.iters,
         res_prim=final.res_prim,
         res_dual=final.res_dual,
-        rho=final.rho,
+        rho=final.rho_res,
         converged=final.converged,
         stalled=final.stalled,
     )
@@ -357,6 +367,9 @@ def make_admm_step(
         q_prox = jnp.where(m, q_prox, s.q_prox)
         res_prim = jnp.where(active, res_prim, s.res_prim)
         res_dual = jnp.where(active, res_dual, s.res_dual)
+        # the rho these residuals were computed with (res_dual = s.rho *
+        # delta above) - frozen with them, BEFORE this iteration's update
+        rho_res = jnp.where(active, s.rho, s.rho_res)
         converged = s.converged | (active & newly)
         # eps-certified vs noise-floor stall (SolveStats.stalled)
         stalled = s.stalled | (active & newly & ~eps_ok)
@@ -376,7 +389,7 @@ def make_admm_step(
             rho=rho, tau_inc=tau_inc, tau_dec=tau_dec,
             rho_up=rho_up, cpt=cpt,
             converged=converged, stalled=stalled, iters=iters,
-            res_prim=res_prim, res_dual=res_dual,
+            res_prim=res_prim, res_dual=res_dual, rho_res=rho_res,
             all_done=all_done,
             fact_inv=fact_inv,
         )

@@ -105,3 +105,21 @@ def test_equilibrate_degenerate_zero_matrix(rng, spd):
     l_plain = dq.solve_qp(jnp.array(P[1:]), jnp.array(q[1:]),
                           config=cfg.replace(equilibrate=False))
     np.testing.assert_allclose(np.array(l)[1:], np.array(l_plain), atol=1e-6)
+
+
+def test_rho_residual_consistent_capped_pallas(rng, spd):
+    """Kernel twin of test_verify's capped-rho contract: with the max_iter
+    cap landing exactly on a rho-update iteration, SolveStats.rho must be
+    the penalty the recorded residuals used (kernel carry leaves already
+    multiplied by tau; rho_out reads the frozen rho_rec row instead)."""
+    P = jnp.array(spd(rng, 20, 8)).astype(jnp.float32)
+    q = jnp.array(rng.standard_normal((20, 8))).astype(jnp.float32)
+    base = dq.SolverConfig(eps=1e-30, stall_tol=0.0, max_iter=25,
+                           rho_update_period=24, backend="pallas",
+                           lmax_method="power")
+    _, s25 = dq.solve_qp_with_stats(P, q, config=base)
+    _, s24 = dq.solve_qp_with_stats(P, q, config=base.replace(max_iter=24))
+    np.testing.assert_allclose(
+        np.array(s25.rho), np.array(s24.rho), rtol=1e-6
+    )
+    assert np.all(np.isfinite(np.array(s25.res_dual)))

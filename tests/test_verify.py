@@ -139,6 +139,27 @@ def test_stats_rho_positive_and_frozen(rng, spd):
     assert np.all(rho > 0) and np.all(np.isfinite(rho))
 
 
+def test_stats_rho_is_residual_consistent_on_capped_solve(rng, spd):
+    """The residual-consistency contract on the adversarial case: a
+    max_iter cap landing EXACTLY on a rho-update iteration. The carry rho
+    leaves that iteration already multiplied by tau (was measured up to
+    16x the residuals' rho before the rho_res fix); the stats field must
+    be the one that produced res_dual, i.e. res_dual/rho == res_dual/rho
+    of the max_iter-1 run's last recorded iteration's penalty."""
+    P, q = _qp_problem(rng, spd)
+    # eps=0: nothing converges, every problem runs to the cap; period=24
+    # puts an update exactly on the last executed iteration (it=24).
+    cfg = CFG.replace(eps=1e-30, stall_tol=0.0, max_iter=25,
+                      rho_update_period=24)
+    _, st25 = dq.solve_qp_with_stats(P, q, config=cfg)
+    # one iteration earlier the update cannot have fired yet
+    _, st24 = dq.solve_qp_with_stats(P, q, config=cfg.replace(max_iter=24))
+    r25, r24 = np.asarray(st25.rho), np.asarray(st24.rho)
+    # the it=24 residuals were computed with the penalty as of entry to
+    # it=24, which is the (unchanged since) penalty recorded at it=23
+    np.testing.assert_allclose(r25, r24, rtol=1e-6)
+
+
 def test_refine_solve_matches_lstsq_on_selector_system(rng):
     """refine_solve on the masked-selector least-squares systems it is
     reserved for (near-diagonal normal matrix): matches numpy's lstsq."""

@@ -87,15 +87,19 @@ def main():
         np.asarray(jax.device_get(x), np.float64)
         for x in (P, q, lo, hi, v, l_n, mu)
     )
+    # each class carries ITS OWN config so the stationarity bound below is
+    # derived from the alpha/mu_prox the solve actually used (qcfg and cfg
+    # only coincide today because QCQP_DEFAULTS tunes power_iters alone)
     sols = {
-        "qp": (dq.solve_qp_with_stats(P, q, config=cfg),
+        "qp": (cfg, dq.solve_qp_with_stats(P, q, config=cfg),
                lambda l: verify.check_qp(Pn, qn, l)),
-        "box": (dq.solve_box_qp_with_stats(P, q, lo, hi, config=cfg),
+        "box": (cfg, dq.solve_box_qp_with_stats(P, q, lo, hi, config=cfg),
                 lambda l: verify.check_box_qp(Pn, qn, lon, hin, l)),
         "signed_box": (
+            cfg,
             dq.solve_signed_box_qp_with_stats(P, q, lo, hi, v, config=cfg),
             lambda l: verify.check_signed_box_qp(Pn, qn, lon, hin, vn, l)),
-        "qcqp": (dq.solve_qcqp_with_stats(P, q, l_n, mu, config=qcfg),
+        "qcqp": (qcfg, dq.solve_qcqp_with_stats(P, q, l_n, mu, config=qcfg),
                  lambda l: verify.check_qcqp(Pn, qn, lnn, mun, l)),
     }
     # Primal feasibility is exact-ish (the projection is the solver's last
@@ -111,13 +115,13 @@ def main():
     # x64 globally breaks the f32 pallas-kernel trace, and astype(float64)
     # without it silently stays f32 (round-2 advisor finding).
     cpu = jax.devices("cpu")[0]
-    for name, ((l, stats), check) in sols.items():
+    for name, (ccfg, (l, stats), check) in sols.items():
         ln_host = np.asarray(jax.device_get(l))
         with enable_x64(), jax.default_device(cpu):
             r = check(ln_host)
             bound = np.asarray(verify.stationarity_bound(
                 Pn, qn, ln_host, jax.device_get(stats),
-                alpha=cfg.alpha_relax, mu_prox=cfg.mu_prox,
+                alpha=ccfg.alpha_relax, mu_prox=ccfg.mu_prox,
             ))
         stat = np.array(r.stationarity)
         ratio = stat / (BOUND_MARGIN * bound)
