@@ -30,6 +30,12 @@ from .api import (
     which_backend,
 )
 from .config import QCQP_DEFAULTS, QP_DEFAULTS
+from .diff.jacobian import (
+    box_qp_jacobian,
+    qcqp_jacobian,
+    qp_jacobian,
+    signed_box_qp_jacobian,
+)
 from . import debug, verify
 from .utils.cache import enable_compilation_cache
 
@@ -50,5 +56,9 @@ __all__ = [
     "solve_box_qp_with_stats",
     "solve_signed_box_qp_with_stats",
     "solve_qcqp_with_stats",
+    "qp_jacobian",
+    "box_qp_jacobian",
+    "signed_box_qp_jacobian",
+    "qcqp_jacobian",
     "__version__",
 ]
