@@ -130,6 +130,20 @@ class SolverConfig:
         a LONG tail - tile-max >> mean, e.g. heterogeneous conditioning;
         on the tuned flagship distribution it is net negative. Ignored by
         the XLA engine.
+      warm_start_dual: also warm-start the scaled dual iterate. ADMM's
+        convergence state is (l2, u), and at a fixed point u* = -(P l* + q)
+        EXACTLY (substitute l = l2 = l* into the l-update; mu_prox-sized
+        error only). Warm-starting l2 alone therefore barely helps - the
+        solver still has to rediscover u (measured: NO iteration reduction
+        on sequences of slowly-drifting problems). With this flag the
+        engine synthesises u0 = -(P ws + q) from the primal warm start, so
+        a warm start at the previous timestep's solution resumes from a
+        near-fixed-point (l2, u) pair - the OSQP-style primal+dual warm
+        start, derived instead of threaded. Measured ~3-4x fewer iterations
+        on drifting-problem sequences (tests/test_contact_sim.py). Off by
+        default: it changes the trajectory (not the solution) whenever the
+        warm start is nonzero... and with ws = 0 it sets u0 = -q rather
+        than 0, which diverges from the reference's iterate sequence.
       equilibrate: Ruiz-rescale each problem (ops/equilibrate.py) before
         solving and map the solution back - an algorithmic improvement the
         reference lacks, essential for its own pathologically-conditioned
@@ -163,6 +177,7 @@ class SolverConfig:
     rho_sync: bool = True
     rho0_scale: float = 1.0
     compact_iters: int = 0
+    warm_start_dual: bool = False
     equilibrate: bool = False
     ruiz_iters: int = 10
 

@@ -233,10 +233,18 @@ def _admm_chol_kernel(
     else:
         factorize(rho0 + mu_prox)
 
+        if cfg.warm_start_dual:
+            # u* = -(P l* + q) at any fixed point (SolverConfig docstring):
+            # synthesise the dual warm start from the primal one. Pad rows
+            # carry P diag 1 / q 0 / ws 0, so their u0 stays 0.
+            u0 = -(matvec_p(ws_ref[:]) + q)
+        else:
+            u0 = zeros_nv
+
         state = (
             jnp.zeros((), jnp.int32),           # it
             ws_ref[:],                           # l2
-            zeros_nv,                            # u
+            u0,                                  # u
             q,                                   # q_prox
             rho0,                                # rho
             tau0,                                # tau_inc

@@ -59,7 +59,13 @@ def _step(
     dt: float,
     qp_cfg: SolverConfig,
     qcqp_cfg: SolverConfig,
-) -> ContactState:
+    impulses: tuple[Array, Array] | None = None,   # previous (l_n, l_t)
+) -> tuple[ContactState, tuple[Array, Array]]:
+    """One stepping step; returns the new state AND this step's impulses
+    (l_n (B,), l_t (B, 2)) so the rollout can warm-start the next solve with
+    them - the reference's intended warm-start pattern (README.md:42: the
+    previous timestep's forces seed the next solve; dead code there,
+    Solver.cpp:70 vs :80, live here)."""
     m = params.mass
     g = jnp.array([0.0, 0.0, -9.81], state.v.dtype)
 
@@ -68,6 +74,17 @@ def _step(
     # contact activity: near the plane and approaching it
     touching = (state.x[:, 2] <= 1e-3) & (v_free[:, 2] <= 0.0)
 
+    ws_n = ws_t = None
+    if impulses is not None:
+        prev_n, prev_t = impulses
+        ws_n = jnp.stack([prev_n, jnp.zeros_like(prev_n)], axis=-1)
+        ws_t = prev_t
+        # primal-only warm starts measurably do NOT cut ADMM iterations
+        # (the solver still rediscovers the dual u); derive u0 = -(P ws + q)
+        # too (SolverConfig.warm_start_dual).
+        qp_cfg = qp_cfg.replace(warm_start_dual=True)
+        qcqp_cfg = qcqp_cfg.replace(warm_start_dual=True)
+
     # --- normal impulse: diagonal-P non-negative QP, P = 1/m (the Delassus
     # operator of a single point contact), q = v*_z (so l_n cancels the
     # normal velocity when the contact is active). A dummy second coordinate
@@ -75,7 +92,7 @@ def _step(
     P_n = jnp.broadcast_to((1.0 / m)[:, None], (m.shape[0], 2))
     q_z = jnp.where(touching, v_free[:, 2], 1.0)        # inactive => q>0 => l=0
     q_n = jnp.stack([q_z, jnp.ones_like(q_z)], axis=-1)
-    l_n = solve_qp(P_n, q_n, config=qp_cfg)[:, 0]       # (B,)
+    l_n = solve_qp(P_n, q_n, ws_n, config=qp_cfg)[:, 0]  # (B,)
 
     # --- friction impulse: one 2-D cone per body, radius mu * l_n.
     # P again the Delassus 1/m per tangential coordinate, q = v*_xy.
@@ -85,14 +102,14 @@ def _step(
     # the returned impulse already opposes the tangential motion and sticks
     # the contact when inside the cone.
     l_t = solve_qcqp(
-        P_t, q_t, l_n[:, None], params.mu[:, None], config=qcqp_cfg
+        P_t, q_t, l_n[:, None], params.mu[:, None], ws_t, config=qcqp_cfg
     )                                               # (B, 2)
 
     dv = jnp.concatenate([l_t, l_n[:, None]], axis=-1) / m[:, None]
     v_new = v_free + dv
     x_new = state.x + dt * v_new
     x_new = x_new.at[:, 2].set(jnp.maximum(x_new[:, 2], 0.0))
-    return ContactState(x=x_new, v=v_new)
+    return ContactState(x=x_new, v=v_new), (l_n, l_t)
 
 
 def simulate(
@@ -102,14 +119,34 @@ def simulate(
     dt: float = 0.01,
     qp_cfg: SolverConfig = QP_CFG,
     qcqp_cfg: SolverConfig = QCQP_CFG,
+    warm_start: bool = True,
 ) -> tuple[ContactState, ContactState]:
-    """Roll T steps; returns (final_state, trajectory-of-states)."""
+    """Roll T steps; returns (final_state, trajectory-of-states).
 
-    def body(state, f):
-        nxt = _step(params, state, f, dt, qp_cfg, qcqp_cfg)
-        return nxt, nxt
+    warm_start=True carries each step's contact impulses through the scan
+    and seeds the next step's QP/QCQP solves with them, primal AND dual
+    (cfg.warm_start_dual synthesises u0 = -(P ws + q); primal-only warm
+    starts measurably save nothing). README.md:42's physics pattern:
+    consecutive timesteps solve nearly identical problems, so the previous
+    forces start near the new fixed point - an unchanged problem re-solves
+    in 1 iteration, slowly-drifting sequences save iterations in proportion
+    to log(drift/eps) (measurements: tests/test_contact_sim.py). Solutions
+    are eps-converged either way; trajectories agree with warm_start=False
+    (the reference trajectory) to solver tolerance."""
+    B = state0.x.shape[0]
+    dtype = state0.x.dtype
+    imp0 = (jnp.zeros((B,), dtype), jnp.zeros((B, 2), dtype))
 
-    return jax.lax.scan(body, state0, f_ext)
+    def body(carry, f):
+        state, imp = carry
+        nxt, imp_new = _step(
+            params, state, f, dt, qp_cfg, qcqp_cfg,
+            impulses=imp if warm_start else None,
+        )
+        return (nxt, imp_new), nxt
+
+    (final, _), traj = jax.lax.scan(body, (state0, imp0), f_ext)
+    return final, traj
 
 
 def trajectory_loss(

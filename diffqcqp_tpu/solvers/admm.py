@@ -164,6 +164,16 @@ def _initial_state(
     rho = jnp.sqrt(cfg.mu_prox * L) * ratio**0.4 * cfg.rho0_scale  # Solver.cpp:72
     tau = ratio**0.15                                      # Solver.cpp:73
     zeros = jnp.zeros_like(q)
+    if cfg.warm_start_dual:
+        # u* = -(P l* + q) at any fixed point (see SolverConfig): derive the
+        # dual warm start from the primal one instead of threading state.
+        ws_c = warm_start.astype(dtype)
+        if P.ndim == 2:
+            u0 = -(P * ws_c + q)
+        else:
+            u0 = -(jnp.sum(P * ws_c[:, None, :], axis=-1) + q)
+    else:
+        u0 = zeros
     fact_inv = (
         inv_fn(rho.astype(dtype) + jnp.asarray(cfg.mu_prox, dtype))
         if use_chol
@@ -174,7 +184,7 @@ def _initial_state(
         it=jnp.zeros((), jnp.int32),
         l=zeros,
         l2=warm_start.astype(dtype),
-        u=zeros,
+        u=u0,
         q_prox=q,
         rho=rho.astype(dtype),
         tau_inc=tau.astype(dtype),

@@ -29,8 +29,11 @@ def test_resting_body_stays_put():
     params = ContactParams(mass=jnp.ones(b), mu=jnp.full(b, 0.5))
     f = jnp.zeros((t, b, 3))
     final, traj = simulate(params, _rest_state(b), f)
-    np.testing.assert_allclose(np.array(final.x), 0.0, atol=1e-6)
-    assert float(jnp.max(jnp.abs(traj.v[:, :, 2]))) < 1e-6
+    # tolerance is ~10x the solver eps (1e-7): warm-started steps certify
+    # the same residual eps but at the un-adapted rho0, so per-step solution
+    # noise sits at the few-1e-6 level rather than cold start's ~1e-7
+    np.testing.assert_allclose(np.array(final.x), 0.0, atol=1e-5)
+    assert float(jnp.max(jnp.abs(traj.v[:, :, 2]))) < 1e-5
 
 
 def test_sliding_body_decelerates_and_stops():
@@ -44,8 +47,9 @@ def test_sliding_body_decelerates_and_stops():
     f = jnp.zeros((t, b, 3))
     final, traj = simulate(params, s0, f, dt=dt)
     speeds = np.array(jnp.linalg.norm(traj.v[:, :, :2], axis=-1))
-    # monotone non-increasing speed, both stop
-    assert np.all(np.diff(speeds, axis=0) <= 1e-6)
+    # monotone non-increasing speed, both stop (1e-5 = ~10x solver eps;
+    # see the resting test's tolerance note)
+    assert np.all(np.diff(speeds, axis=0) <= 1e-5)
     assert np.all(speeds[-1] < 1e-4)
     # higher friction stops sooner: first index where speed < 1e-3
     stop = (speeds < 1e-3).argmax(axis=0)
@@ -87,3 +91,79 @@ def test_system_id_recovers_friction():
     assert float(loss) < 0.2 * l0, (l0, float(loss))
     mu_err = np.abs(np.array(raw_to_params(raw).mu) - np.array(true.mu))
     assert float(np.median(mu_err)) < float(np.median(np.abs(0.5 - np.array(true.mu))))
+
+
+def test_warm_start_rollout_matches_cold_trajectory():
+    """warm_start=True (default) carries impulses through the scan; the
+    eps-converged solutions - and hence the trajectory - must match the
+    cold-start (reference-trajectory) rollout to solver tolerance."""
+    b, t, dt = 4, 60, 0.01
+    rng = np.random.default_rng(7)
+    params = ContactParams(
+        mass=jnp.asarray(rng.uniform(0.8, 1.2, b)),
+        mu=jnp.asarray(rng.uniform(0.2, 0.7, b)),
+    )
+    s0 = ContactState(
+        x=jnp.zeros((b, 3)),
+        v=jnp.asarray(np.c_[rng.uniform(0.5, 1.5, b),
+                            rng.uniform(-0.5, 0.5, b), np.zeros(b)]),
+    )
+    f = jnp.asarray(rng.normal(0, 0.3, (t, b, 3)).clip(-1, 1))
+    _, traj_warm = simulate(params, s0, f, dt=dt, warm_start=True)
+    _, traj_cold = simulate(params, s0, f, dt=dt, warm_start=False)
+    np.testing.assert_allclose(
+        np.array(traj_warm.x), np.array(traj_cold.x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(traj_warm.v), np.array(traj_cold.v), atol=1e-5
+    )
+
+
+def test_warm_start_cuts_iterations_on_drifting_problems():
+    """The physics pattern warm-starting exists for (README.md:42):
+    consecutive timesteps solve nearly identical QCQPs. Measured facts this
+    test pins down (calibrated on this exact sequence):
+
+      * primal-only warm starts save NOTHING (the solver rediscovers the
+        dual u from scratch either way) - the reason warm_start_dual exists;
+      * with warm_start_dual (u0 = -(P ws + q)), the chained sequence
+        saves ~30% of total iterations at eps=1e-9 (savings scale with
+        log(drift/eps): smaller steps or looser eps save much more);
+      * re-solving an UNCHANGED problem from its own solution converges
+        immediately (the synthesised (l2, u) pair is an exact fixed point).
+    """
+    import diffqcqp_tpu as dq
+
+    rng = np.random.default_rng(11)
+    b, nc, steps = 16, 4, 20
+    n = 2 * nc
+    s = rng.standard_normal((b, n, n)) / np.sqrt(n)
+    P = jnp.asarray(s @ s.transpose(0, 2, 1) + 0.1 * np.eye(n))
+    q0 = rng.standard_normal((b, n))
+    drift = rng.standard_normal((steps, b, n)) * 0.002  # fine timestep drift
+    l_n = jnp.asarray(rng.random((b, nc)) * 0.5 + 0.1)
+    mu = jnp.asarray(rng.random((b, nc)) * 0.5 + 0.2)
+    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-9, max_iter=5000)
+    wcfg = cfg.replace(warm_start_dual=True)
+
+    cold = warm = prim = 0
+    ws = ws_p = None
+    for k in range(steps):
+        q = jnp.asarray(q0 + drift[: k + 1].sum(0))
+        _, s_cold = dq.solve_qcqp_with_stats(P, q, l_n, mu, config=cfg)
+        l_w, s_warm = dq.solve_qcqp_with_stats(
+            P, q, l_n, mu, warm_start=ws, config=cfg if ws is None else wcfg
+        )
+        l_p, s_prim = dq.solve_qcqp_with_stats(
+            P, q, l_n, mu, warm_start=ws_p, config=cfg
+        )
+        assert bool(s_cold.converged.all()) and bool(s_warm.converged.all())
+        cold += int(s_cold.iterations.sum())
+        warm += int(s_warm.iterations.sum())
+        prim += int(s_prim.iterations.sum())
+        ws, ws_p = l_w, l_p
+    assert warm < 0.8 * cold, (warm, cold)
+    assert prim > 0.95 * cold, (prim, cold)   # primal-only: no help
+    # unchanged problem, dual-warm from own solution: immediate convergence
+    _, s_re = dq.solve_qcqp_with_stats(P, q, l_n, mu, warm_start=ws, config=wcfg)
+    assert int(s_re.iterations.max()) <= 5

@@ -222,3 +222,26 @@ def test_pallas_stalled_flag(prob):
     # every eps-certified problem exists and none is mislabelled stalled
     assert np.any(certified)
     assert not np.any(stalled & certified)
+
+
+def test_pallas_warm_start_dual_parity_and_fast_resolve(prob):
+    """cfg.warm_start_dual in the fused kernel: (a) same solution as the
+    XLA engine with the same flag, (b) re-solving from the own solution
+    converges immediately (the synthesised (l2, u0 = -(P ws + q)) pair is an
+    exact fixed point - SolverConfig docstring), (c) the padded dummy rows
+    stay zero."""
+    _, P, q, ws = prob
+    wcfg = CFG.replace(warm_start_dual=True)
+    l0, _ = admm_solve_pallas(
+        P, q, ws, PROX_NONNEG, (), CFG, interpret=True, tile_b=128
+    )
+    l_pal, s_pal = admm_solve_pallas(
+        P, q, l0, PROX_NONNEG, (), wcfg, interpret=True, tile_b=128
+    )
+    l_xla, s_xla = admm_solve(P, q, l0, prox_nonneg, wcfg)
+    np.testing.assert_allclose(
+        np.array(l_pal), np.array(l_xla), atol=5e-5, rtol=1e-4
+    )
+    assert bool(s_pal.converged.all())
+    assert int(np.array(s_pal.iterations).max()) <= 8
+    assert int(np.array(s_xla.iterations).max()) <= 8
