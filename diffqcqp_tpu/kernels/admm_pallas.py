@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SolverConfig
 from ..solvers.admm import SolveStats
+from .ldl import chol_to_unit, ldl_solve
 from .layout import LANES as _LANES
 from .layout import pack_P, pack_vec, qcqp_perm, unpack_vec
 from .layout import round_up as _round_up
@@ -90,7 +91,7 @@ def _admm_chol_kernel(
     if state_out:
         svec_out, srow_out = refs[:2]
         del refs[:2]
-    (lc_ref,) = refs
+    lc_ref, dinv_ref = refs
     f32 = jnp.float32
     eps = f32(cfg.eps)
     mu_prox = f32(cfg.mu_prox)
@@ -133,15 +134,18 @@ def _admm_chol_kernel(
         tau0 = jnp.power(ratio, f32(0.15))
 
     def factorize(shift):
-        """lc_ref <- chol(P + diag(shift)), shift (1, tb), per lane.
+        """lc_ref <- unit-diag LDL^T of (P + diag(shift)), shift (1, tb).
 
-        Left-looking, n^2/2 small (n, tb) ops. Measured notes: a tile-wide
-        refactorisation costs ~3 ADMM iterations at the flagship shape and
-        is op-LATENCY bound; a right-looking variant with one 3-D
-        trailing-panel broadcast per column was tried and lowered ~60%
-        SLOWER through Mosaic (3-D ref-slice updates do not vectorise
-        well), so the simple form stays. The rho_sync it>0 throttle keeps
-        refactorisations to ~2 per solve instead.
+        Left-looking standard-Cholesky columns (n^2/2 small (n, tb) ops),
+        then converted in place to the zero-diagonal normalised form +
+        dinv plane (kernels/ldl.py) so every solve sweep row is ONE
+        broadcast-FMA. Measured notes: a tile-wide refactorisation costs
+        ~3 ADMM iterations at the flagship shape and is op-LATENCY bound;
+        a right-looking variant with one 3-D trailing-panel broadcast per
+        column was tried and lowered ~60% SLOWER through Mosaic (3-D
+        ref-slice updates do not vectorise well), so the simple form
+        stays. The rho_sync it>0 throttle keeps refactorisations to ~2
+        per solve instead.
         """
         for j in range(n):
             ej = (row_idx == j).astype(f32)
@@ -153,31 +157,16 @@ def _admm_chol_kernel(
             col = s * jax.lax.rsqrt(d)
             mask = (row_idx >= j).astype(f32)
             lc_ref[:, j, :] = col * mask
+        chol_to_unit(lc_ref, dinv_ref, n, row_idx)
 
     def solve_normal(rhs):
-        """x = (L L^T)^{-1} rhs via two unrolled triangular sweeps.
+        """x = (L L^T)^{-1} rhs, 2n + 1 broadcast-FMAs (kernels/ldl.py).
 
-        (A block-of-4 variant - in-block solve on (1, tb) row slices, one
-        set of four independent full-width FMAs per block - was measured
-        at 0.734 vs 0.740 ms whole-forward: no gain, so the simple
-        row-by-row form stays.)
+        (Two earlier forms, both measured: row-by-row sweeps with (1, tb)
+        divides - 2 ops per row; and a block-of-4 variant - no gain. The
+        zero-diag LDL^T form halves the sweeps' op count.)
         """
-        acc = rhs
-        ys = []
-        for i in range(n):
-            coli = lc_ref[:, i, :]
-            yi = acc[i : i + 1, :] / coli[i : i + 1, :]
-            ys.append(yi)
-            acc = acc - coli * yi
-        y = jnp.concatenate(ys, axis=0)
-        acc = y
-        xs = [None] * n
-        for i in reversed(range(n)):
-            rowi = lc_ref[i]                       # (n, tb): Lc[i, k]
-            xi = acc[i : i + 1, :] / rowi[i : i + 1, :]
-            xs[i] = xi
-            acc = acc - rowi * xi
-        return jnp.concatenate(xs, axis=0)
+        return ldl_solve(lc_ref, dinv_ref, rhs, n)
 
     def prox(x):
         if prox_kind == PROX_NONNEG:
@@ -543,7 +532,10 @@ def admm_solve_pallas(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
-            scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tb), f32)],
+            scratch_shapes=[
+                pltpu.VMEM((n_pad, n_pad, tb), f32),
+                pltpu.VMEM((n_pad, tb), f32),
+            ],
             interpret=interpret,
         )(*inputs)
 

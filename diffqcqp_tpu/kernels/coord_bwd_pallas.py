@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .layout import LANES, pack_P, pack_vec, round_up, vmem_tile_b
+from .ldl import chol_to_unit, ldl_solve
 
 KIND_QP = 0
 KIND_BOX = 1
@@ -63,12 +64,12 @@ def _coord_bwd_kernel(
     outputs (n, tb). Scratch lc (n, n, tb) holds the masked Cholesky.
     """
     if kind == KIND_QP:
-        dl_out, lc_ref = refs
+        dl_out, lc_ref, dinv_ref = refs
     elif kind == KIND_BOX:
-        dl_out, dglo_out, dghi_out, glo_out, ghi_out, lc_ref = refs
+        dl_out, dglo_out, dghi_out, glo_out, ghi_out, lc_ref, dinv_ref = refs
     else:
         (dl_out, dglo_out, dghi_out, dgsg_out,
-         glo_out, ghi_out, gsg_out, lc_ref) = refs
+         glo_out, ghi_out, gsg_out, lc_ref, dinv_ref) = refs
 
     f32 = jnp.float32
     tiny = f32(1e-30)
@@ -116,7 +117,9 @@ def _coord_bwd_kernel(
             am = jnp.minimum(am_lo + am_hi + am_sg, f32(1.0))
     fm = 1.0 - am
 
-    # ---- masked SPD Cholesky: K = fm P fm + diag(am)
+    # ---- masked SPD Cholesky: K = fm P fm + diag(am), converted to the
+    # zero-diag LDL^T form (kernels/ldl.py) so each solve sweep row is one
+    # broadcast-FMA.
     for j in range(n):
         ej = (row == j).astype(f32)
         fj = fm[j : j + 1, :]
@@ -127,24 +130,10 @@ def _coord_bwd_kernel(
         d = jnp.maximum(s_col[j : j + 1, :], tiny)
         col = s_col * jax.lax.rsqrt(d)
         lc_ref[:, j, :] = col * (row >= j).astype(f32)
+    chol_to_unit(lc_ref, dinv_ref, n, row)
 
     # ---- solve K x = g * fm; dl = x * fm
-    acc = g * fm
-    ys = []
-    for i in range(n):
-        coli = lc_ref[:, i, :]
-        yi = acc[i : i + 1, :] / coli[i : i + 1, :]
-        ys.append(yi)
-        acc = acc - coli * yi
-    y = jnp.concatenate(ys, axis=0)
-    acc = y
-    xs = [None] * n
-    for i in reversed(range(n)):
-        rowi = lc_ref[i]
-        xi = acc[i : i + 1, :] / rowi[i : i + 1, :]
-        xs[i] = xi
-        acc = acc - rowi * xi
-    dl = jnp.concatenate(xs, axis=0) * fm
+    dl = ldl_solve(lc_ref, dinv_ref, g * fm, n) * fm
 
     dl_out[:] = dl
     if kind == KIND_QP:
@@ -236,7 +225,10 @@ def coord_kkt_bwd_fused(
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_pad, Bp), f32) for _ in range(n_out)
         ),
-        scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tb), f32)],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, tb), f32),
+            pltpu.VMEM((n_pad, tb), f32),
+        ],
         interpret=interpret,
     )(P_k, vec(q), vec(l), vec(g), lo_k, hi_k, vs_k)
 

@@ -38,12 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .layout import LANES as _LANES
 from .layout import pack_P, pack_vec, qcqp_perm, unpack_vec, vmem_tile_b
 from .layout import round_up as _round_up
+from .ldl import chol_to_unit, ldl_solve
 
 
 def _qcqp_bwd_kernel(
     p_ref, l_ref, g_ref, gam_ref, s_ref, am_ref,
     dgamma_out, dl_out,
-    lc_ref, w_ref, m_ref,
+    lc_ref, dinv_ref, w_ref, m_ref,
     *, n: int, nc: int, nc_pad: int,
 ):
     """Per-lane Schur-complement KKT adjoint solve.
@@ -66,14 +67,14 @@ def _qcqp_bwd_kernel(
     g = g_ref[:]
     _schur_core(
         p_ref, l, g, gam_raw, gam, am, s_ref[:],
-        dgamma_out, dl_out, lc_ref, w_ref, m_ref,
+        dgamma_out, dl_out, lc_ref, dinv_ref, w_ref, m_ref,
         row_n=row_n, row_c=row_c, n=n, nc=nc, nc_pad=nc_pad,
     )
 
 
 def _schur_core(
     p_ref, l, g, gam_raw, gam, am, sigma_s,
-    dgamma_out, dl_out, lc_ref, w_ref, m_ref,
+    dgamma_out, dl_out, lc_ref, dinv_ref, w_ref, m_ref,
     *, row_n, row_c, n: int, nc: int, nc_pad: int,
 ):
     f32 = jnp.float32
@@ -92,7 +93,10 @@ def _schur_core(
     else:
         gam_coord = jnp.concatenate([gam_raw[:nc, :], gam_raw[:nc, :]], axis=0)
 
-    # ---- Cholesky of D = P + diag(2 gamma_coord) (pads carry P's identity)
+    # ---- Cholesky of D = P + diag(2 gamma_coord) (pads carry P's identity),
+    # converted to the zero-diag LDL^T form (kernels/ldl.py): each of the
+    # nc + 1 solve sweeps below is then one broadcast-FMA per row - no
+    # per-row divides, no concatenate reassembly.
     for j in range(n):
         ej = (row_n == j).astype(f32)
         s_col = p_ref[:, j, :] + ej * (2.0 * gam_coord[j : j + 1, :])
@@ -102,37 +106,21 @@ def _schur_core(
         d = jnp.maximum(s_col[j : j + 1, :], tiny)
         col = s_col * jax.lax.rsqrt(d)
         lc_ref[:, j, :] = col * (row_n >= j).astype(f32)
-
-    zero_row = l[0:1, :] * 0.0   # concrete-layout zeros (Mosaic quirk)
+    chol_to_unit(lc_ref, dinv_ref, n, row_n)
 
     def chol_solve(rhs, start=0):
         """(L L^T)^{-1} rhs, rhs (n, tb), rhs rows < start known zero.
 
-        Forward substitution on a lower-triangular L maps leading zero
-        rows to leading zero rows, so the sweep starts at ``start`` - the
-        C columns (first nonzero at row c) skip an average of nc/2 rows
-        each. (A multi-RHS variant sweeping the whole (n, nc+1, tb) w_ref
-        block at once - one pair of triangular sweeps for all right-hand
-        sides, 3-D ref-slice read-modify-write along the leading axis -
-        was tried on-chip: numerically equivalent within f32 conditioning
-        but NO faster, so the per-column solves stay.)
+        The forward sweep starts at ``start`` - the C columns (first
+        nonzero at row c) skip an average of nc/2 rows each. (A multi-RHS
+        variant sweeping the whole (n, nc+1, tb) w_ref block at once -
+        one pair of triangular sweeps for all right-hand sides, 3-D
+        ref-slice read-modify-write along the leading axis - was tried
+        on-chip: numerically equivalent within f32 conditioning but NO
+        faster than per-column row-by-row sweeps; the zero-diag LDL^T
+        sweeps used here halve the op count on top.)
         """
-        acc = rhs
-        ys = [zero_row] * start
-        for i in range(start, n):
-            coli = lc_ref[:, i, :]
-            yi = acc[i : i + 1, :] / coli[i : i + 1, :]
-            ys.append(yi)
-            acc = acc - coli * yi
-        y = jnp.concatenate(ys, axis=0)
-        acc = y
-        xs = [None] * n
-        for i in reversed(range(n)):
-            rowi = lc_ref[i]
-            xi = acc[i : i + 1, :] / rowi[i : i + 1, :]
-            xs[i] = xi
-            acc = acc - rowi * xi
-        return jnp.concatenate(xs, axis=0)
+        return ldl_solve(lc_ref, dinv_ref, rhs, n, start=start)
 
     # ---- W = D^{-1} [g | C]; C column c = 2 l at rows (c, nc+c), masked.
     w_ref[:, 0, :] = chol_solve(g)
@@ -212,7 +200,7 @@ def _schur_core(
 def _qcqp_bwd_fused_kernel(
     p_ref, q_ref, l_ref, g_ref, r_ref,
     dgamma_out, dl_out, gamma_out,
-    lc_ref, w_ref, m_ref,
+    lc_ref, dinv_ref, w_ref, m_ref,
     *, n: int, nc: int, nc_pad: int,
     eps: float, act_eps: float, stall_ulps: float,
 ):
@@ -268,7 +256,7 @@ def _qcqp_bwd_fused_kernel(
     gamma_out[:] = gam_raw
     _schur_core(
         p_ref, l, g, gam_raw, gam, am, sigma_s,
-        dgamma_out, dl_out, lc_ref, w_ref, m_ref,
+        dgamma_out, dl_out, lc_ref, dinv_ref, w_ref, m_ref,
         row_n=row_n, row_c=row_c, n=n, nc=nc, nc_pad=nc_pad,
     )
 
@@ -338,6 +326,7 @@ def qcqp_kkt_bwd_fused(
         ),
         scratch_shapes=[
             pltpu.VMEM((n_pad, n_pad, tb), f32),
+            pltpu.VMEM((n_pad, tb), f32),
             pltpu.VMEM((n_pad, nc_pad + 8, tb), f32),
             pltpu.VMEM((nc_pad, nc_pad, tb), f32),
         ],
@@ -407,6 +396,7 @@ def qcqp_kkt_bwd_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((n_pad, n_pad, tb), f32),
+            pltpu.VMEM((n_pad, tb), f32),
             pltpu.VMEM((n_pad, nc_pad + 8, tb), f32),
             pltpu.VMEM((nc_pad, nc_pad, tb), f32),
         ],
