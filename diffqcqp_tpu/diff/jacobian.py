@@ -45,28 +45,28 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import jax.lax.linalg as lax_linalg
+import jax
 import jax.numpy as jnp
 from jax import Array
 
 from ..config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
+from ..ops.linalg import spd_cholesky_solve
 from ..utils.shapes import canon_like, canon_problem
 from . import kkt
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _solve_multi(A: Array, rhs: Array, spd: bool = False) -> Array:
     """Batched multi-RHS solve, A (B, m, m), rhs (B, m, k) -> (B, m, k).
 
-    SPD systems go through one batched Cholesky + two triangular sweeps over
-    all k columns; general (saddle) systems through one batched LU. Both
+    SPD systems go through the shared batched Cholesky + two triangular
+    sweeps (ops/linalg.py::spd_cholesky_solve - one definition with the
+    adjoint paths); general (saddle) systems through one batched LU. Both
     factor ONCE for all right-hand sides - the entire point of this module.
     """
     if spd:
-        L = jnp.linalg.cholesky(A)
-        x = lax_linalg.triangular_solve(L, rhs, left_side=True, lower=True)
-        return lax_linalg.triangular_solve(
-            L, x, left_side=True, lower=True, transpose_a=True
-        )
+        return spd_cholesky_solve(A, rhs)
     return jnp.linalg.solve(A, rhs)
 
 
@@ -297,12 +297,16 @@ def qcqp_jacobian(
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (Bsz, n, n))
     X = _solve_multi(D, jnp.concatenate([eye, Bt], axis=-1), spd=True)
     Y, W = X[..., :n], X[..., n:]               # D^{-1}, D^{-1} B^T
+    # precision pinned on every einsum: TPU default-precision dot_generals
+    # run bf16 and would put ~1e-2 relative error into the returned
+    # sensitivities (same measured failure as ops/linalg.py:29; the CPU
+    # jacrev parity tests cannot catch it).
     M = jnp.eye(nc, dtype=dtype) * sigma[:, :, None] - jnp.einsum(
-        "bcn,bnk->bck", Ct, W
+        "bcn,bnk->bck", Ct, W, precision=_HI
     )
-    RHS_G = -jnp.einsum("bcn,bnk->bck", Ct, Y)  # (B, nc, n)
+    RHS_G = -jnp.einsum("bcn,bnk->bck", Ct, Y, precision=_HI)  # (B, nc, n)
     DG_cols = jnp.linalg.solve(M, RHS_G) * am[:, :, None]
-    DL_cols = Y - jnp.einsum("bnc,bck->bnk", W, DG_cols)
+    DL_cols = Y - jnp.einsum("bnc,bck->bnk", W, DG_cols, precision=_HI)
     DL = jnp.swapaxes(DL_cols, -1, -2)          # [i, j] = dl(e_i)_j
     DG = jnp.swapaxes(DG_cols, -1, -2)          # [i, c] = dgamma(e_i)_c
     e1, e2 = kkt.qcqp_radius_factors(ln, m, duals.gamma)

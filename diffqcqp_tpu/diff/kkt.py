@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..config import SolverConfig
-from ..ops.linalg import newton_schulz_inverse
+from ..ops.linalg import newton_schulz_inverse, spd_cholesky_solve
 
 
 def _spd_inverse_f32(A: Array) -> Array:
@@ -158,14 +158,7 @@ def _solve_direct(
         if rhs.dtype == jnp.float32:
             return jnp.einsum("bij,bj->bi", _spd_inverse_f32(A), rhs,
                               precision=jax.lax.Precision.HIGHEST)
-        L = jnp.linalg.cholesky(A)
-        x = jax.lax.linalg.triangular_solve(
-            L, rhs[..., None], left_side=True, lower=True
-        )
-        x = jax.lax.linalg.triangular_solve(
-            L, x, left_side=True, lower=True, transpose_a=True
-        )
-        return x[..., 0]
+        return spd_cholesky_solve(A, rhs[..., None])[..., 0]
     return jnp.linalg.solve(A, rhs[..., None])[..., 0]
 
 
@@ -547,7 +540,19 @@ def qcqp_dual(P: Array, q: Array, radius: Array, l: Array, cfg: SolverConfig) ->
     plq = _pl_plus_q(P, l, q).reshape(B, nc, 2)
     num = -2.0 * jnp.sum(pts * plq, axis=-1)          # (C^T (Pl+q))_i negated
     den = 4.0 * jnp.sum(pts * pts, axis=-1)
-    gamma = jnp.where(active, num / jnp.maximum(den, jnp.finfo(l.dtype).tiny), 0.0)
+    # Dual-feasibility projection: gamma >= 0 at any KKT point of the cone
+    # constraint, so a negative least-squares estimate is pure recovery
+    # noise (f32 stationarity error ~delta/(2||l_i||) on a small-radius
+    # binding contact). Left unclamped it can make D = P + 2*blockdiag(
+    # gamma) indefinite and NaN the SPD adjoint paths (Cholesky /
+    # Newton-Schulz); the reference's unclamped recovery feeds a
+    # sign-agnostic LU and merely degrades. Mirrored in the fused
+    # kernel's in-kernel recovery (kernels/qcqp_bwd_pallas.py).
+    gamma = jnp.where(
+        active,
+        jnp.maximum(num, 0.0) / jnp.maximum(den, jnp.finfo(l.dtype).tiny),
+        0.0,
+    )
     return QCQPDuals(gamma=gamma, active=active)
 
 
@@ -653,7 +658,7 @@ def qcqp_vjp(
         # blockdiag(2 gamma_i I_2) is SPD, so one batched Cholesky of D
         # and an nc x nc Schur system replace the LU - the XLA mirror of
         # the fused kernel's math (kernels/qcqp_bwd_pallas.py), tested
-        # against the LU path in tests/test_qcqp.py.
+        # against the LU path in tests/test_large_n.py.
         return _qcqp_schur_vjp(P, l, g, s, am, duals.gamma, nc, n)
 
     # Assemble S^T DIRECTLY (each block a masked broadcast; D symmetric),
@@ -713,14 +718,13 @@ def _qcqp_schur_vjp(
         X = jnp.einsum("bij,bjk->bik", _spd_inverse_f32(D), rhs,
                         precision=jax.lax.Precision.HIGHEST)
     else:
-        L = jnp.linalg.cholesky(D)
-        X = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
-        X = jax.lax.linalg.triangular_solve(
-            L, X, left_side=True, lower=True, transpose_a=True
-        )
+        X = spd_cholesky_solve(D, rhs)
     y, W = X[..., 0], X[..., 1:]                    # D^{-1} g, D^{-1} B^T
+    # precision pinned: TPU default-precision einsum runs bf16 and puts
+    # ~1e-2 relative error into M before it is solved (ops/linalg.py:29
+    # documents the measured failure; CPU parity tests cannot catch it).
     M = jnp.eye(nc, dtype=dtype) * sigma[:, :, None] - jnp.einsum(
-        "bcn,bnk->bck", Ct, W
+        "bcn,bnk->bck", Ct, W, precision=jax.lax.Precision.HIGHEST
     )
     rhs_g = -jnp.sum(Ct * y[:, None, :], axis=-1)
     dgamma = jnp.linalg.solve(M, rhs_g[..., None])[..., 0] * am

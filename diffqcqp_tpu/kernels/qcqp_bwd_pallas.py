@@ -230,7 +230,10 @@ def _qcqp_bwd_fused_kernel(
     rr = r[:nc, :]
     # dual recovery: active iff slack <= eps and r >= eps (Solver.cpp:597)
     act_rec = ((rr - nrm <= f32(eps)) & (rr >= f32(eps))).astype(f32)
-    num = -2.0 * (la * pa + lb * pb)
+    # max(num, 0): dual-feasibility projection (gamma >= 0 at any KKT
+    # point; a negative estimate is recovery noise that can make D
+    # indefinite) - mirrors diff/kkt.py::qcqp_dual.
+    num = jnp.maximum(-2.0 * (la * pa + lb * pb), 0.0)
     gam_raw_c = act_rec * num / jnp.maximum(4.0 * sq, tiny)
     # strict-complementarity mask (diff/kkt.py::qcqp_strict_active)
     s_c = sq - rr * rr

@@ -100,6 +100,24 @@ def chol_inverse_shifted(P: Array, shift: Array) -> Array:
     return jnp.einsum("bki,bkj->bij", inv_L, inv_L, precision=_HI)
 
 
+def spd_cholesky_solve(A: Array, rhs: Array) -> Array:
+    """Batched SPD multi-RHS solve: A (B, m, m), rhs (B, m, k) -> (B, m, k).
+
+    One batched Cholesky + two triangular sweeps over all k columns -
+    factor ONCE for every right-hand side. The single definition shared by
+    the f64 adjoint paths (diff/kkt.py _solve_direct and _qcqp_schur_vjp)
+    and the full-Jacobian API (diff/jacobian.py _solve_multi), so a
+    robustness fix cannot diverge between them. f32-on-TPU callers should
+    prefer the Newton-Schulz inverse (XLA's batched Cholesky is
+    column-serial on TPU - see newton_schulz_inverse).
+    """
+    L = jnp.linalg.cholesky(A)
+    x = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(
+        L, x, left_side=True, lower=True, transpose_a=True
+    )
+
+
 def newton_schulz_inverse(
     M: Array, iters: int = 14, x0: Optional[Array] = None
 ) -> Array:
@@ -137,7 +155,7 @@ def newton_schulz_inverse(
     return jax.lax.fori_loop(0, iters, body, x0)
 
 
-def ns_inverse_shifted(P: Array, shift: Array, iters: int = 18) -> Array:
+def ns_inverse_shifted(P: Array, shift: Array, iters: int = 22) -> Array:
     """inv(P + shift*I) for SPD P via Newton-Schulz with the scalar init
     X0 = 2/(lmin_bound + lmax_bound) I.
 
@@ -147,11 +165,14 @@ def ns_inverse_shifted(P: Array, shift: Array, iters: int = 18) -> Array:
     NS diverges to NaN, which is exactly what happened on problems whose
     adaptive rho had dropped, shrinking the safety margin to under 1%).
     e0 = ||I - M X0||_2 <= (hi - lo)/(hi + lo) < 1 always; the row-sum
-    bound costs at most sqrt(n) slack = ~1 extra squaring step. cond ~7
-    (the rho0 formula's regime) converges in ~7 steps; a rho driven 3
-    decades down (cond ~1e4, x10 slack) still fits in 18. 36 batched
-    matmuls at MXU rates vs XLA's column-serial batched Cholesky
-    (measured 22 ms for (2048, 96, 96) - ~20x slower).
+    bound costs at most sqrt(n) slack. Iteration count: e0^(2^t) < eps_f32
+    needs t >= log2(8.3 * cond_bound) for e0 = 1 - 2/cond_bound, so the
+    documented worst case (rho driven 3 decades down: cond ~1e4, x10
+    row-sum slack -> bound 1e5) needs 20 steps; the default 22 covers
+    cond_bound ~5e5 with margin (18 was ~3 squarings short of the f32
+    floor at that envelope). 44 batched matmuls at MXU rates vs XLA's
+    column-serial batched Cholesky (measured 22 ms for (2048, 96, 96) -
+    still ~15x slower than NS).
     """
     M = P + shift[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)
     lo = shift

@@ -90,3 +90,38 @@ def test_qcqp_degenerate_zero_radius(rng, spd):
         dq.solve_qcqp(jnp.array(P), jnp.array(q), jnp.array(l_n), jnp.array(mu), config=CFG)
     )
     np.testing.assert_allclose(l, 0.0, atol=1e-8)
+
+
+def test_qcqp_dual_recovery_never_negative(rng, spd):
+    """Dual-feasibility projection (diff/kkt.py::qcqp_dual): gamma >= 0
+    even when the point is NOT a KKT point and the raw least-squares
+    estimate -C^T(Pl+q)/(4||l||^2) comes out negative. Unclamped, a
+    negative gamma makes D = P + 2*blockdiag(gamma) indefinite and NaNs
+    the SPD adjoint paths (Cholesky f64 / Newton-Schulz f32)."""
+    from diffqcqp_tpu.config import QCQP_DEFAULTS
+    from diffqcqp_tpu.diff.kkt import qcqp_dual, qcqp_vjp
+
+    # nc = 30 -> m = nc + n = 90 > 88: the SPD Schur-complement path,
+    # where an indefinite D would NaN the batched Cholesky (the m <= 88
+    # LU path is sign-agnostic and merely degrades)
+    b, nc = 4, 30
+    n = 2 * nc
+    P = spd(rng, b, n)
+    # adversarial primal: l exactly ON the cone boundary (active) but with
+    # l . (Pl + q) > 0, so num = -2 l.(Pl+q) < 0 for every contact
+    l = rng.standard_normal((b, n))
+    radius = np.linalg.norm(l.reshape(b, nc, 2), axis=-1)  # slack = 0
+    q = 0.5 * l - np.einsum("bij,bj->bi", P, l)            # Pl + q = l/2
+    cfg = QCQP_DEFAULTS
+    duals = qcqp_dual(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(radius), jnp.asarray(l), cfg
+    )
+    assert bool(jnp.all(duals.active))          # boundary points are active
+    assert float(jnp.min(duals.gamma)) >= 0.0   # projection, not -1/8
+    # the adjoint built on these duals stays finite
+    g = rng.standard_normal((b, n))
+    out = qcqp_vjp(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(radius), jnp.asarray(l),
+        jnp.asarray(g), cfg, duals=duals
+    )
+    assert bool(jnp.isfinite(out.dl).all() & jnp.isfinite(out.dgamma).all())
