@@ -67,12 +67,18 @@ def _spd_inverse_f32(A: Array) -> Array:
     undershoot and then NS diverges): e0 = 1 - lmin/||A||_inf, linear in
     cond with at most sqrt(m) slack - 22 squaring steps cover cond to
     ~1e4, beyond which f32 gradients are dominated by eps * cond
-    regardless of the solver (DESIGN.md section 9)."""
+    regardless of the solver (DESIGN.md section 9).
+
+    The trip count stays FIXED here, unlike ns_inverse_shifted's dynamic
+    count: K carries no lmin bound, and the computable rigorous
+    alternative e0 <= ||I - A/hi||_inf is >= 1 on the masked adjoint
+    systems (measured 1.67 where the true spectral e0 was 0.98), so a
+    dynamic count would CLIP ABOVE the calibrated 22 and only slow the
+    backward down."""
     n = A.shape[-1]
     hi = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)
-    x0 = (1.0 / jnp.maximum(hi, jnp.finfo(A.dtype).tiny))[:, None, None] * (
-        jnp.eye(n, dtype=A.dtype)[None]
-    )
+    hi = jnp.maximum(hi, jnp.finfo(A.dtype).tiny)
+    x0 = (1.0 / hi)[:, None, None] * jnp.eye(n, dtype=A.dtype)[None]
     return newton_schulz_inverse(A, iters=22, x0=x0)
 
 

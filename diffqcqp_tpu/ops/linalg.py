@@ -155,9 +155,46 @@ def newton_schulz_inverse(
     return jax.lax.fori_loop(0, iters, body, x0)
 
 
-def ns_inverse_shifted(P: Array, shift: Array, iters: int = 22) -> Array:
+def ns_steps_from_e0(e0: Array, max_iters: int = 30) -> Array:
+    """Newton-Schulz trip count from an initial-error bound (traced scalar).
+
+    The error contracts as e0^(2^t), so t >= log2(ln(eps)/ln(e0)) steps
+    reach eps; target 1e-8 (one squaring below f32 machine eps, margin).
+    An e0 bound that is loose or even >= 1 (e.g. an inf-norm bound on a
+    spectrally-contractive residual) clips to the max_iters cap - the
+    iteration still converges, it just pays the worst case.
+    """
+    e0 = jnp.clip(e0, 1e-30, 1.0 - 1e-6)
+    ratio = jnp.log(jnp.asarray(1e-8, e0.dtype)) / jnp.log(e0)
+    steps = jnp.ceil(jnp.log2(jnp.maximum(ratio, 2.0))).astype(jnp.int32)
+    return jnp.clip(steps, 2, max_iters)
+
+
+def newton_schulz_inverse_dynamic(M: Array, x0: Array, e0: Array) -> Array:
+    """newton_schulz_inverse with a DYNAMIC trip count from the e0 bound
+    (ns_steps_from_e0): well-conditioned batches self-select ~7 steps
+    instead of always paying the fixed worst case. e0 must be a rigorous
+    bound on ||I - M x0||_2 (or any clip-safe overestimate)."""
+    steps = ns_steps_from_e0(e0)
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+
+    def cond(s):
+        return s[0] < steps
+
+    def body(s):
+        k, X = s
+        MX = jnp.einsum("bij,bjk->bik", M, X, precision=_HI)
+        return k + 1, jnp.einsum("bij,bjk->bik", X, 2.0 * eye - MX,
+                                 precision=_HI)
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(0), x0))[1]
+
+
+def ns_inverse_shifted(P: Array, shift: Array, iters: int | None = None) -> Array:
     """inv(P + shift*I) for SPD P via Newton-Schulz with the scalar init
-    X0 = 2/(lmin_bound + lmax_bound) I.
+    X0 = 2/(lmin_bound + lmax_bound) I and a DYNAMIC trip count derived
+    from the same bounds.
 
     For M = P + shift*I, lmin(M) >= shift (P is PSD) and lmax(M) <=
     ||M||_inf (max absolute row sum - RIGOROUS, unlike a power-iteration
@@ -165,21 +202,28 @@ def ns_inverse_shifted(P: Array, shift: Array, iters: int = 22) -> Array:
     NS diverges to NaN, which is exactly what happened on problems whose
     adaptive rho had dropped, shrinking the safety margin to under 1%).
     e0 = ||I - M X0||_2 <= (hi - lo)/(hi + lo) < 1 always; the row-sum
-    bound costs at most sqrt(n) slack. Iteration count: e0^(2^t) < eps_f32
-    needs t >= log2(8.3 * cond_bound) for e0 = 1 - 2/cond_bound, so the
-    documented worst case (rho driven 3 decades down: cond ~1e4, x10
-    row-sum slack -> bound 1e5) needs 20 steps; the default 22 covers
-    cond_bound ~5e5 with margin (18 was ~3 squarings short of the f32
-    floor at that envelope). 44 batched matmuls at MXU rates vs XLA's
-    column-serial batched Cholesky (measured 22 ms for (2048, 96, 96) -
-    still ~15x slower than NS).
+    bound costs at most sqrt(n) slack.
+
+    Trip count: the error contracts as e0^(2^t), so t >= log2(ln(eps) /
+    ln(e0_max)) steps reach eps, with e0_max the batch's worst bound - a
+    traced scalar feeding a lax.while_loop (dynamic trip counts are fine
+    in XLA; a fori_loop lowers to the same while). The common case - the
+    engine's rho0 formula keeps cond(P + (rho+mu)I) ~ 7 - needs only ~7
+    steps (14 matmuls), while a rho driven 3 decades down (cond ~1e4, x10
+    row-sum slack) self-selects ~20; a FIXED count must always pay the
+    worst case (22+ steps - measured 17 ms of a 29 ms N=96 forward;
+    dynamic setup 7.6 ms, +38% config-6 throughput). ``iters`` forces a
+    static count; the dynamic cap is 30 (ns_steps_from_e0 - cond_bound
+    ~1e9, far past f32 usefulness).
     """
     M = P + shift[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)
     lo = shift
     hi = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
     scale = 2.0 / (lo + hi)
     x0 = scale[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)[None]
-    return newton_schulz_inverse(M, iters=iters, x0=x0)
+    if iters is not None:
+        return newton_schulz_inverse(M, iters=iters, x0=x0)
+    return newton_schulz_inverse_dynamic(M, x0, jnp.max((hi - lo) / (hi + lo)))
 
 
 def power_iteration(P: Array, iters: int) -> Array:

@@ -92,6 +92,33 @@ def test_newton_schulz_inverse_f32(rng, spd):
     assert resid2 < 5e-5
 
 
+def test_ns_dynamic_step_count(rng, spd):
+    """ns_inverse_shifted's dynamic trip count (ns_steps_from_e0): picks
+    few steps for well-conditioned shifts, more for tiny shifts, and
+    reaches the f32 floor in both regimes (the accuracy contract that
+    must survive the step-count optimisation)."""
+    from diffqcqp_tpu.ops.linalg import ns_inverse_shifted, ns_steps_from_e0
+
+    # monotone, capped step schedule
+    s_easy = int(ns_steps_from_e0(jnp.float32(0.75)))     # cond ~7
+    s_hard = int(ns_steps_from_e0(jnp.float32(1 - 2e-5)))  # cond ~1e5
+    s_cap = int(ns_steps_from_e0(jnp.float32(1.5)))        # loose bound
+    assert 2 <= s_easy <= 8
+    assert 18 <= s_hard <= 22
+    # a loose/>= 1 bound clips e0 to 1 - 1e-6 -> 25 steps (under the cap)
+    assert s_hard < s_cap <= 30
+
+    b, n = 6, 64
+    P64 = np.asarray(spd(rng, b, n))
+    P = jnp.asarray(P64.astype(np.float32))
+    for sh in (1.0, 1e-4):   # easy / ill-conditioned shift
+        shift = jnp.full((b,), sh, jnp.float32)
+        inv = np.asarray(ns_inverse_shifted(P, shift), np.float64)
+        M = P64 + sh * np.eye(n)
+        resid = np.max(np.abs(np.einsum("bij,bjk->bik", M, inv) - np.eye(n)))
+        assert resid < 5e-5, (sh, resid)
+
+
 def test_f32_chol_engine_matches_nnls(rng, spd):
     """The f32 production path at N=96 (NS inverse engine + NS backward)
     against the EXACT scipy NNLS oracle."""
