@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..config import SolverConfig
-from ..ops.linalg import newton_schulz_inverse, spd_cholesky_solve
+from ..ops.linalg import newton_schulz_inverse_adaptive, spd_cholesky_solve
 
 
 def _spd_inverse_f32(A: Array) -> Array:
@@ -65,21 +65,22 @@ def _spd_inverse_f32(A: Array) -> Array:
     carries no shift bound, so the init is I / ||A||_inf (max abs row
     sum) - a RIGOROUS lmax upper bound (a power-iteration estimate can
     undershoot and then NS diverges): e0 = 1 - lmin/||A||_inf, linear in
-    cond with at most sqrt(m) slack - 22 squaring steps cover cond to
-    ~1e4, beyond which f32 gradients are dominated by eps * cond
-    regardless of the solver (DESIGN.md section 9).
+    cond with at most sqrt(m) slack.
 
-    The trip count stays FIXED here, unlike ns_inverse_shifted's dynamic
-    count: K carries no lmin bound, and the computable rigorous
-    alternative e0 <= ||I - A/hi||_inf is >= 1 on the masked adjoint
-    systems (measured 1.67 where the true spectral e0 was 0.98), so a
-    dynamic count would CLIP ABOVE the calibrated 22 and only slow the
-    backward down."""
+    The trip count is the MEASURED stopping rule
+    (ops/linalg.py::newton_schulz_inverse_adaptive): K carries no lmin
+    bound and the computable a-priori alternative ||I - A/hi||_inf is
+    >= 1 on these masked adjoint systems (measured 1.67 where the true
+    spectral e0 was 0.98), but the per-step residual is free - typical
+    masked K stops at ~10-11 steps where the calibrated fixed count paid
+    22. The 30-step cap covers cond ~1e4+, beyond which f32 gradients
+    are dominated by eps * cond regardless of the solver (DESIGN.md
+    section 9)."""
     n = A.shape[-1]
     hi = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)
     hi = jnp.maximum(hi, jnp.finfo(A.dtype).tiny)
     x0 = (1.0 / hi)[:, None, None] * jnp.eye(n, dtype=A.dtype)[None]
-    return newton_schulz_inverse(A, iters=22, x0=x0)
+    return newton_schulz_inverse_adaptive(A, x0)
 
 
 def _use_fused_kernel(P: Array, l: Array, cfg: SolverConfig) -> bool:

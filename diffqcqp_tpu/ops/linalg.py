@@ -155,46 +155,53 @@ def newton_schulz_inverse(
     return jax.lax.fori_loop(0, iters, body, x0)
 
 
-def ns_steps_from_e0(e0: Array, max_iters: int = 30) -> Array:
-    """Newton-Schulz trip count from an initial-error bound (traced scalar).
+def newton_schulz_inverse_adaptive(
+    M: Array, x0: Array, tol: float = 3e-4, max_iters: int = 30
+) -> Array:
+    """Newton-Schulz with a MEASURED stopping rule at zero extra matmuls.
 
-    The error contracts as e0^(2^t), so t >= log2(ln(eps)/ln(e0)) steps
-    reach eps; target 1e-8 (one squaring below f32 machine eps, margin).
-    An e0 bound that is loose or even >= 1 (e.g. an inf-norm bound on a
-    spectrally-contractive residual) clips to the max_iters cap - the
-    iteration still converges, it just pays the worst case.
-    """
-    e0 = jnp.clip(e0, 1e-30, 1.0 - 1e-6)
-    ratio = jnp.log(jnp.asarray(1e-8, e0.dtype)) / jnp.log(e0)
-    steps = jnp.ceil(jnp.log2(jnp.maximum(ratio, 2.0))).astype(jnp.int32)
-    return jnp.clip(steps, 2, max_iters)
-
-
-def newton_schulz_inverse_dynamic(M: Array, x0: Array, e0: Array) -> Array:
-    """newton_schulz_inverse with a DYNAMIC trip count from the e0 bound
-    (ns_steps_from_e0): well-conditioned batches self-select ~7 steps
-    instead of always paying the fixed worst case. e0 must be a rigorous
-    bound on ||I - M x0||_2 (or any clip-safe overestimate)."""
-    steps = ns_steps_from_e0(e0)
+    Each NS step already computes MX, so the actual residual R = I - M X
+    is available per step for the cost of one elementwise pass (~0.1 ms at
+    (2048, 96, 96) vs ~0.56 ms for the step's two matmuls). The loop stops
+    once the rigorous spectral bound sqrt(||R||_1 ||R||_inf) (R is not
+    symmetric, so neither norm alone bounds ||R||_2) falls below ``tol``:
+    the update applied with that residual lands the NEXT iterate at
+    ~tol^2 = 9e-8, the f32 floor. This strictly dominates any a-priori
+    trip count - a bound-derived count must assume the worst case over
+    the batch (the masked adjoint systems have NO computable tight bound:
+    ||I - A/hi||_inf >= 1 there while the true spectral e0 was 0.98 ->
+    the measured rule stops at ~10-11 steps where the calibrated fixed
+    count paid 22). ``max_iters`` breaks residual stalls (f32 noise floor
+    / cond beyond f32 usefulness)."""
     n = M.shape[-1]
     eye = jnp.eye(n, dtype=M.dtype)
 
+    def norms(R):
+        r1 = jnp.max(jnp.sum(jnp.abs(R), axis=-2))
+        rinf = jnp.max(jnp.sum(jnp.abs(R), axis=-1))
+        return jnp.sqrt(r1 * rinf)
+
     def cond(s):
-        return s[0] < steps
+        k, _, resid = s
+        return (k < max_iters) & (resid > tol)
 
     def body(s):
-        k, X = s
+        k, X, _ = s
         MX = jnp.einsum("bij,bjk->bik", M, X, precision=_HI)
-        return k + 1, jnp.einsum("bij,bjk->bik", X, 2.0 * eye - MX,
-                                 precision=_HI)
+        X = jnp.einsum("bij,bjk->bik", X, 2.0 * eye - MX, precision=_HI)
+        return k + 1, X, norms(eye - MX)
 
-    return jax.lax.while_loop(cond, body, (jnp.int32(0), x0))[1]
+    # the carried residual belongs to the iterate the JUST-APPLIED update
+    # contracted FROM, so exiting at resid <= tol leaves the carried X at
+    # ~resid^2 <= 9e-8 - already the f32 floor, no polish step needed.
+    init = (jnp.int32(0), x0, jnp.asarray(jnp.inf, M.dtype))
+    return jax.lax.while_loop(cond, body, init)[1]
 
 
 def ns_inverse_shifted(P: Array, shift: Array, iters: int | None = None) -> Array:
     """inv(P + shift*I) for SPD P via Newton-Schulz with the scalar init
-    X0 = 2/(lmin_bound + lmax_bound) I and a DYNAMIC trip count derived
-    from the same bounds.
+    X0 = 2/(lmin_bound + lmax_bound) I and the measured stopping rule
+    (newton_schulz_inverse_adaptive).
 
     For M = P + shift*I, lmin(M) >= shift (P is PSD) and lmax(M) <=
     ||M||_inf (max absolute row sum - RIGOROUS, unlike a power-iteration
@@ -204,17 +211,12 @@ def ns_inverse_shifted(P: Array, shift: Array, iters: int | None = None) -> Arra
     e0 = ||I - M X0||_2 <= (hi - lo)/(hi + lo) < 1 always; the row-sum
     bound costs at most sqrt(n) slack.
 
-    Trip count: the error contracts as e0^(2^t), so t >= log2(ln(eps) /
-    ln(e0_max)) steps reach eps, with e0_max the batch's worst bound - a
-    traced scalar feeding a lax.while_loop (dynamic trip counts are fine
-    in XLA; a fori_loop lowers to the same while). The common case - the
-    engine's rho0 formula keeps cond(P + (rho+mu)I) ~ 7 - needs only ~7
-    steps (14 matmuls), while a rho driven 3 decades down (cond ~1e4, x10
-    row-sum slack) self-selects ~20; a FIXED count must always pay the
-    worst case (22+ steps - measured 17 ms of a 29 ms N=96 forward;
-    dynamic setup 7.6 ms, +38% config-6 throughput). ``iters`` forces a
-    static count; the dynamic cap is 30 (ns_steps_from_e0 - cond_bound
-    ~1e9, far past f32 usefulness).
+    The adaptive trip count matters: the common case - the engine's rho0
+    formula keeps cond(P + (rho+mu)I) ~ 7 - stops after ~7 steps
+    (14 matmuls), while a rho driven 3 decades down self-selects ~20; a
+    FIXED count must always pay the calibrated worst case (22 steps -
+    measured 17 ms of a 29 ms N=96 forward; adaptive setup 7.6 ms, +38%
+    config-6 throughput). ``iters`` forces a static count.
     """
     M = P + shift[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)
     lo = shift
@@ -223,7 +225,7 @@ def ns_inverse_shifted(P: Array, shift: Array, iters: int | None = None) -> Arra
     x0 = scale[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)[None]
     if iters is not None:
         return newton_schulz_inverse(M, iters=iters, x0=x0)
-    return newton_schulz_inverse_dynamic(M, x0, jnp.max((hi - lo) / (hi + lo)))
+    return newton_schulz_inverse_adaptive(M, x0)
 
 
 def power_iteration(P: Array, iters: int) -> Array:
