@@ -20,10 +20,12 @@ skips the factorisation entirely: the shifted solve is element-wise.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 # TPU f32 matmuls default to bfloat16 passes; every matmul on a SOLVE path
@@ -155,8 +157,9 @@ def newton_schulz_inverse(
     return jax.lax.fori_loop(0, iters, body, x0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def newton_schulz_inverse_adaptive(
-    M: Array, x0: Array, tol: float = 3e-4, max_iters: int = 30
+    M: Array, x0: Array, tol: float | None = None, max_iters: int = 30
 ) -> Array:
     """Newton-Schulz with a MEASURED stopping rule at zero extra matmuls.
 
@@ -166,15 +169,37 @@ def newton_schulz_inverse_adaptive(
     once the rigorous spectral bound sqrt(||R||_1 ||R||_inf) (R is not
     symmetric, so neither norm alone bounds ||R||_2) falls below ``tol``:
     the update applied with that residual lands the NEXT iterate at
-    ~tol^2 = 9e-8, the f32 floor. This strictly dominates any a-priori
-    trip count - a bound-derived count must assume the worst case over
-    the batch (the masked adjoint systems have NO computable tight bound:
+    ~tol^2, the working-precision floor (tol defaults to
+    ~0.9 sqrt(eps_mach) of M's dtype: 3.1e-4 f32 -> lands ~9.5e-8;
+    1.3e-8 f64 -> ~1.7e-16). This strictly dominates any a-priori trip
+    count - a bound-derived count must assume the worst case over the
+    batch (the masked adjoint systems have NO computable tight bound:
     ||I - A/hi||_inf >= 1 there while the true spectral e0 was 0.98 ->
     the measured rule stops at ~10-11 steps where the calibrated fixed
-    count paid 22). ``max_iters`` breaks residual stalls (f32 noise floor
-    / cond beyond f32 usefulness)."""
+    count paid 22). ``max_iters`` breaks residual stalls (noise floor /
+    cond beyond working-precision usefulness).
+
+    Sharding note: the max in the stopping rule is over whatever batch
+    this function SEES. Under shard_map (parallel/sharding.py) that is
+    the per-shard batch - each shard stops on its own worst problem, no
+    collective. Under global jit auto-sharding the max would insert a
+    per-step all-reduce; pass a fixed count upstream
+    (ns_inverse_shifted(iters=...)) in that setting.
+
+    Reverse-mode: the while_loop is not differentiable through, but the
+    converged result IS the inverse, so the exact implicit derivative
+    d(M^{-1}) = -M^{-1} dM M^{-1} is attached as a custom VJP (two
+    matmuls - cheaper than unrolled-loop AD would ever be); x0 only
+    affects the convergence path, its cotangent is zero.
+    """
+    return _ns_adaptive_impl(M, x0, tol, max_iters)
+
+
+def _ns_adaptive_impl(M, x0, tol, max_iters):
     n = M.shape[-1]
     eye = jnp.eye(n, dtype=M.dtype)
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(np.dtype(M.dtype)).eps) * 0.9)
 
     def norms(R):
         r1 = jnp.max(jnp.sum(jnp.abs(R), axis=-2))
@@ -193,9 +218,26 @@ def newton_schulz_inverse_adaptive(
 
     # the carried residual belongs to the iterate the JUST-APPLIED update
     # contracted FROM, so exiting at resid <= tol leaves the carried X at
-    # ~resid^2 <= 9e-8 - already the f32 floor, no polish step needed.
+    # ~resid^2 - already the working-precision floor, no polish needed.
     init = (jnp.int32(0), x0, jnp.asarray(jnp.inf, M.dtype))
     return jax.lax.while_loop(cond, body, init)[1]
+
+
+def _ns_adaptive_fwd(M, x0, tol, max_iters):
+    X = _ns_adaptive_impl(M, x0, tol, max_iters)
+    return X, X
+
+
+def _ns_adaptive_bwd(tol, max_iters, X, dX):
+    # d(M^{-1}) = -M^{-1} dM M^{-1}  =>  M_bar = -X^T dX_bar X^T, written
+    # with transposed einsum indices (no materialized (B,n,n) transpose -
+    # 10-50x slower than letting the dot_general absorb it on TPU).
+    t = jnp.einsum("bji,bjk->bik", X, dX, precision=_HI)
+    m_bar = -jnp.einsum("bik,blk->bil", t, X, precision=_HI)
+    return m_bar, jnp.zeros_like(X)
+
+
+newton_schulz_inverse_adaptive.defvjp(_ns_adaptive_fwd, _ns_adaptive_bwd)
 
 
 def ns_inverse_shifted(P: Array, shift: Array, iters: int | None = None) -> Array:

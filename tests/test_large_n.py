@@ -180,3 +180,27 @@ def test_large_n_qcqp_gradient_fd(rng, spd):
     dn[i] -= h
     fd = (float(loss(jnp.asarray(up))) - float(loss(jnp.asarray(dn)))) / (2 * h)
     assert abs(fd - g[i]) / max(abs(fd), 1e-12) < 1e-5
+
+
+def test_ns_adaptive_is_differentiable(rng, spd):
+    """The adaptive NS inverse carries the exact implicit derivative
+    d(M^{-1}) = -M^{-1} dM M^{-1} as a custom VJP (a lax.while_loop is not
+    reverse-differentiable through); FD-checked on the exported helper in
+    f64, where the dtype-aware tol must also reach the f64 floor."""
+    from diffqcqp_tpu.ops.linalg import ns_inverse_shifted
+
+    b, n = 3, 16
+    P = jnp.asarray(np.asarray(spd(rng, b, n)))
+    shift = jnp.asarray(rng.random(b) + 0.5)
+    w = jnp.asarray(rng.standard_normal((b, n, n)))
+
+    def loss(P):
+        return jnp.sum(ns_inverse_shifted(P, shift) * w)
+
+    g = jax.grad(loss)(P)
+    d = jnp.asarray(rng.standard_normal(P.shape))
+    d = 0.5 * (d + jnp.swapaxes(d, -1, -2))   # stay in the SPD manifold
+    h = 1e-6
+    fd = (loss(P + h * d) - loss(P - h * d)) / (2 * h)
+    an = jnp.sum(g * d)
+    assert abs(float(fd - an)) / max(abs(float(fd)), 1e-30) < 1e-7

@@ -117,7 +117,7 @@ def test_qcqp_dual_recovery_never_negative(rng, spd):
         jnp.asarray(P), jnp.asarray(q), jnp.asarray(radius), jnp.asarray(l), cfg
     )
     assert bool(jnp.all(duals.active))          # boundary points are active
-    assert float(jnp.min(duals.gamma)) >= 0.0   # projection, not -1/8
+    assert float(jnp.min(duals.gamma)) >= 0.0   # projection, not -1/4
     # the adjoint built on these duals stays finite
     g = rng.standard_normal((b, n))
     out = qcqp_vjp(
