@@ -357,7 +357,11 @@ def config5(reps):
     l_n = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
     mu = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
     mesh = make_batch_mesh()
-    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-7, max_iter=400)
+    # production-guide schedule (docs/PRODUCTION.md), same as config 4
+    cfg = dq.QCQP_DEFAULTS.replace(
+        eps=1e-7, max_iter=400, rho0_scale=2.0, rho_update_period=24,
+        power_iters=10,
+    )
     args = tuple(
         shard_batch(jnp.asarray(x), mesh) for x in (P, q, l_n, mu)
     )
