@@ -173,6 +173,12 @@ def config2(reps):
     rng = np.random.default_rng(1)
     P = _spd(rng, b, n, np.float32)
     q = rng.standard_normal((b, n)).astype(np.float32)
+    # NOTE: config 2 deliberately KEEPS the reference-default schedule.
+    # The tuned (rho0_scale=2.0, period=24) schedule was tried: +3%
+    # throughput but the f64-oracle accuracy anchor degraded 2.0e-5 ->
+    # 1.0e-4 (the looser dual trajectory exits the eps=1e-7 rule at a
+    # visibly looser point on this warm-started distribution). The
+    # accuracy column is this config's purpose.
     cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=2000)
     Pj, qj = jnp.asarray(P), jnp.asarray(q)
     solve = jax.jit(lambda P, q, ws: dq.solve_qp(P, q, ws, config=cfg))
@@ -217,7 +223,10 @@ def config3(reps):
     q = (rng.standard_normal((b, n)) * 0.5).astype(np.float32)
     l_n = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
     mu = (rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32)
-    cfg = dq.QCQP_DEFAULTS.replace(eps=1e-7, max_iter=1000)
+    cfg = dq.QCQP_DEFAULTS.replace(
+        eps=1e-7, max_iter=1000, rho0_scale=2.0, rho_update_period=24,
+        power_iters=10,
+    )
     args = tuple(map(jnp.asarray, (P, q, l_n, mu)))
 
     def loss(P, q, l_n, mu):
