@@ -336,12 +336,34 @@ def config4(reps):
         float(jnp.mean(st_qp.converged.astype(jnp.float32)))
         + float(jnp.mean(st_qc.converged.astype(jnp.float32)))
     )
+    # accuracy evidence at the tuned schedule (f64 native oracle on a
+    # 256-problem subsample; config 2's experiment shows convergence
+    # alone does not certify a schedule)
+    l_qp, _ = dq.solve_qp_with_stats(P0, params["q"], config=qp_cfg)
+    l_qc, _ = dq.solve_qcqp_with_stats(
+        P0, params["q"], jnp.exp(params["log_l_n"]),
+        jax.nn.sigmoid(params["logit_mu"]), config=qc_cfg,
+    )
+    k = 256
+    Pk = np.asarray(P0[:k], np.float64)
+    acc_qp = _accuracy_vs_native(
+        "qp", np.float64, Pk, np.asarray(params["q"][:k], np.float64),
+        np.asarray(l_qp[:k]),
+    )
+    acc_qc = _accuracy_vs_native(
+        "qcqp", np.float64, Pk, np.asarray(params["q"][:k], np.float64),
+        np.exp(np.asarray(params["log_l_n"][:k], np.float64)),
+        np.asarray(jax.nn.sigmoid(params["logit_mu"][:k]), np.float64),
+        np.asarray(l_qc[:k]),
+    )
     return {
         "config": 4,
         "desc": "B=4096 mixed QP/QCQP Adam system-ID step (fwd+bwd+update)",
         "solves_per_sec": round(2 * b / dt, 1),
         "steps_per_sec": round(1.0 / dt, 2),
         "converged_frac": conv,
+        "qp_max_abs_err_vs_native_f64": acc_qp,
+        "qcqp_max_abs_err_vs_native_f64": acc_qc,
     }
 
 
