@@ -323,37 +323,46 @@ def config4(reps):
         return steps
 
     dt = _timed_loop(make_loop(reps), (params, opt_state), reps, make_loop(1))
-    # convergence evidence at the tuned schedule (one un-timed solve pair)
-    P0 = jnp.einsum("bik,bjk->bij", params["S"], params["S"]) + 0.1 * jnp.eye(
+
+    # ---- schedule evidence on the TRAINED trajectory, not just step 0
+    # (the timed loop evolves the params, so evidence at the initial
+    # point would be vacuous for the workload actually measured): run 10
+    # un-timed Adam steps, then record convergence + f64-oracle accuracy
+    # at the evolved params. config 2's experiment shows convergence
+    # alone does not certify a schedule.
+    @jax.jit
+    def advance(params, opt_state):
+        def body(k, carry):
+            p, s = carry
+            _, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s)
+        return jax.lax.fori_loop(0, 10, body, (params, opt_state))
+
+    pT, _ = advance(params, opt_state)
+    PT = jnp.einsum("bik,bjk->bij", pT["S"], pT["S"]) + 0.1 * jnp.eye(
         n, dtype=jnp.float32
     )
-    _, st_qp = dq.solve_qp_with_stats(P0, params["q"], config=qp_cfg)
-    _, st_qc = dq.solve_qcqp_with_stats(
-        P0, params["q"], jnp.exp(params["log_l_n"]),
-        jax.nn.sigmoid(params["logit_mu"]), config=qc_cfg,
-    )
+    ln_T = jnp.exp(pT["log_l_n"])
+    mu_T = jax.nn.sigmoid(pT["logit_mu"])
+    l_qp, st_qp = dq.solve_qp_with_stats(PT, pT["q"], config=qp_cfg)
+    l_qc, st_qc = dq.solve_qcqp_with_stats(PT, pT["q"], ln_T, mu_T, config=qc_cfg)
     conv = 0.5 * (
         float(jnp.mean(st_qp.converged.astype(jnp.float32)))
         + float(jnp.mean(st_qc.converged.astype(jnp.float32)))
     )
-    # accuracy evidence at the tuned schedule (f64 native oracle on a
-    # 256-problem subsample; config 2's experiment shows convergence
-    # alone does not certify a schedule)
-    l_qp, _ = dq.solve_qp_with_stats(P0, params["q"], config=qp_cfg)
-    l_qc, _ = dq.solve_qcqp_with_stats(
-        P0, params["q"], jnp.exp(params["log_l_n"]),
-        jax.nn.sigmoid(params["logit_mu"]), config=qc_cfg,
-    )
     k = 256
-    Pk = np.asarray(P0[:k], np.float64)
+    Pk = np.asarray(PT[:k], np.float64)
     acc_qp = _accuracy_vs_native(
-        "qp", np.float64, Pk, np.asarray(params["q"][:k], np.float64),
+        "qp", np.float64, Pk, np.asarray(pT["q"][:k], np.float64),
         np.asarray(l_qp[:k]),
     )
     acc_qc = _accuracy_vs_native(
-        "qcqp", np.float64, Pk, np.asarray(params["q"][:k], np.float64),
-        np.exp(np.asarray(params["log_l_n"][:k], np.float64)),
-        np.asarray(jax.nn.sigmoid(params["logit_mu"][:k]), np.float64),
+        # the oracle must solve the SAME problem the TPU did: widen the
+        # f32 exp/sigmoid values, do not recompute them in f64
+        "qcqp", np.float64, Pk, np.asarray(pT["q"][:k], np.float64),
+        np.asarray(ln_T[:k], np.float64),
+        np.asarray(mu_T[:k], np.float64),
         np.asarray(l_qc[:k]),
     )
     return {
@@ -362,6 +371,8 @@ def config4(reps):
         "solves_per_sec": round(2 * b / dt, 1),
         "steps_per_sec": round(1.0 / dt, 2),
         "converged_frac": conv,
+        "evidence_at": "params after 10 Adam steps",
+        "problems_checked": k,
         "qp_max_abs_err_vs_native_f64": acc_qp,
         "qcqp_max_abs_err_vs_native_f64": acc_qc,
     }
@@ -415,6 +426,7 @@ def config5(reps):
     out = {
         "config": 5,
         "desc": f"B={b} QCQP forward, batch-sharded over {n_dev} device(s)",
+        "schedule": "production (rho0=2.0, period=24, power=10)",
         "problems_per_sec": round(b / dt, 1),
         "devices": n_dev,
     }

@@ -52,7 +52,11 @@ J_ad = jax.jacrev(lambda q: dq.solve_qcqp(P, q, l_n, mu))(q)
 J_ad = jnp.moveaxis(jnp.diagonal(J_ad, axis1=0, axis2=2), -1, 0)
 err = float(jnp.max(jnp.abs(J_ad - jac.dl_dq)))
 print("max |jacrev - assembled| :", err)
-assert err < 1e-6
+# on TPU/f32 the two sides use DIFFERENT factorizations (jacrev hits the
+# fused Pallas backward kernel, the jacobian API the XLA Schur solve), so
+# the bound is f32-roundoff-scale, not exact-match-scale
+tol = 1e-10 if J_ad.dtype == jnp.float64 else 1e-5
+assert err < tol, (err, tol)
 
 # ---- QP: dl/dq of the non-negative QP ------------------------------------
 qp_jac = dq.qp_jacobian(P, q)
