@@ -204,3 +204,29 @@ def test_ns_adaptive_is_differentiable(rng, spd):
     fd = (loss(P + h * d) - loss(P - h * d)) / (2 * h)
     an = jnp.sum(g * d)
     assert abs(float(fd - an)) / max(abs(float(fd)), 1e-30) < 1e-7
+
+
+def test_ns_adaptive_vmap_composability(rng, spd):
+    """The adaptive NS inverse composes with vmap and vmap-of-grad: the
+    measured-stopping while_loop batches (each vmapped group runs to its
+    own worst residual) and the custom VJP batches with it."""
+    from diffqcqp_tpu.ops.linalg import ns_inverse_shifted
+
+    G, b, n = 3, 4, 12
+    S = (rng.standard_normal((G, b, n, n)) / np.sqrt(n)).astype(np.float32)
+    P = jnp.asarray(S @ S.transpose(0, 1, 3, 2) + 0.5 * np.eye(n, dtype=np.float32))
+    shift = jnp.asarray((rng.random((G, b)) + 0.5).astype(np.float32))
+    X = jax.vmap(ns_inverse_shifted)(P, shift)
+    M = np.asarray(P, np.float64) + np.asarray(shift, np.float64)[
+        ..., None, None
+    ] * np.eye(n)
+    R = np.eye(n) - np.einsum("gbij,gbjk->gbik", M, np.asarray(X, np.float64))
+    assert float(np.abs(R).max()) < 5e-5
+
+    w = jnp.asarray(rng.standard_normal((G, b, n, n)).astype(np.float32))
+
+    def loss(P, shift, w):
+        return jnp.sum(ns_inverse_shifted(P, shift) * w)
+
+    g = jax.vmap(jax.grad(loss))(P, shift, w)
+    assert bool(jnp.isfinite(g).all()) and g.shape == P.shape
