@@ -15,7 +15,6 @@ training step over the batched TPU solvers - BASELINE.json config 4 (batch
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

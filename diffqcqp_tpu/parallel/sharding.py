@@ -15,7 +15,6 @@ the batch crossing the Python<->C++ boundary per item (qcqp.py:29-31).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

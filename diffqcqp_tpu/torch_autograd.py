@@ -34,7 +34,6 @@ from typing import Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from . import api
 from .config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig

@@ -16,7 +16,7 @@ iterate does not move and the dual residual is 0 on round entry).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 
