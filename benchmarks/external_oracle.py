@@ -9,6 +9,14 @@ generic high-accuracy NLP referee:
   * non-negative QP -> scipy.optimize.nnls (Lawson-Hanson active set):
         min 1/2 l^T P l + q^T l  s.t. l >= 0
       = min 1/2 ||A l - b||^2    s.t. l >= 0,  A = chol(P)^T, b = -A^{-T} q
+  * box / signed-box QP -> scipy.optimize.lsq_linear method='bvls'
+    (Stark-Parker bounded-variable least squares, finite active set):
+        min 1/2 l^T P l + q^T l  s.t. lo <= l <= hi
+      = min 1/2 ||A l - b||^2    s.t. lo <= l <= hi   (same A, b).
+    The signed-box class reduces to a plain box through per-coordinate
+    effective bounds (the feasible set is [lo, hi] intersected with the
+    half-line sign(v_i) * l_i <= 0; v_i == 0 pins l_i = 0, matching
+    ops/prox.py::prox_signed_box), so BVLS referees it exactly too.
   * SINGLE-contact QCQP (the trust-region subproblem): the KKT system
     (P + 2*gamma*I) l = -q, ||l|| <= r, gamma >= 0, complementarity,
     reduces to the 1-D secular equation in the multiplier
@@ -34,7 +42,9 @@ import time
 
 import numpy as np
 from scipy.linalg import cholesky, eigh, solve_triangular
-from scipy.optimize import NonlinearConstraint, brentq, minimize, nnls
+from scipy.optimize import (
+    NonlinearConstraint, brentq, lsq_linear, minimize, nnls,
+)
 
 
 def nnls_solve_batch(P: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -53,6 +63,86 @@ def nnls_solve_batch(P: np.ndarray, q: np.ndarray) -> np.ndarray:
         b = solve_triangular(L, -q[i], lower=True)
         out[i], _ = nnls(A, b)
     return out
+
+
+def box_qp_solve_batch(
+    P: np.ndarray, q: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """Exact f64 solutions of the batched box QP via BVLS.
+
+    Same least-squares reformulation as `nnls_solve_batch` with the
+    non-negativity cone replaced by the box [lo, hi]; BVLS (Stark-Parker)
+    is a finite active-set method, so the only error is f64 rounding.
+    P (B, N, N) dense SPD or (B, N) diagonal; q, lo, hi (B, N).
+    """
+    P = np.asarray(P, np.float64)
+    q = np.asarray(q, np.float64)
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    B, n = q.shape
+    out = np.empty_like(q)
+    for i in range(B):
+        Pi = np.diag(P[i]) if P.ndim == 2 else P[i]
+        # lsq_linear requires lb < ub strictly; a pinned coordinate
+        # (lo == hi, e.g. the signed-box v == 0 slot) is eliminated
+        # exactly: fix it and fold P[free, pin] @ x_pin into q.
+        pin = ~(lo[i] < hi[i])
+        xi = np.empty(n)
+        xi[pin] = lo[i][pin]
+        free = ~pin
+        if free.any():
+            Pf = Pi[np.ix_(free, free)]
+            qf = q[i][free] + Pi[np.ix_(free, pin)] @ xi[pin]
+            L = cholesky(Pf, lower=True)
+            A = L.T
+            b = solve_triangular(L, -qf, lower=True)
+            res = lsq_linear(
+                A, b, bounds=(lo[i][free], hi[i][free]),
+                method="bvls", tol=1e-14,
+            )
+            xi[free] = res.x
+        out[i] = xi
+    return out
+
+
+def signed_box_bounds(
+    lo: np.ndarray, hi: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Effective per-coordinate bounds of the signed-box feasible set.
+
+    [lo, hi] intersected with sign(v_i) * l_i <= 0:
+      v_i > 0  -> [lo_i, min(hi_i, 0)]
+      v_i < 0  -> [max(lo_i, 0), hi_i]
+      v_i == 0 -> {0}  (sign(0) == 0 makes prox_signed_box return 0).
+    Requires lo <= 0 <= hi coordinate-wise (else the intersection can be
+    empty and the prox composition is no longer the exact projection);
+    asserted because a silent mismatch would referee the wrong problem.
+    """
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    s = np.sign(np.asarray(v, np.float64))
+    assert np.all(lo <= 0.0) and np.all(hi >= 0.0), (
+        "signed-box oracle requires lo <= 0 <= hi"
+    )
+    lo_eff = np.where(s > 0, lo, np.where(s < 0, np.maximum(lo, 0.0), 0.0))
+    hi_eff = np.where(s > 0, np.minimum(hi, 0.0), np.where(s < 0, hi, 0.0))
+    return lo_eff, hi_eff
+
+
+def box_check(P, q, lo, hi, l, time_it: bool = True, prefix: str = "bvls"):
+    """Returns {'<prefix>_max_abs_err', '<prefix>_problems_per_sec'}
+    comparing a batch of box-QP solutions l against the exact BVLS oracle."""
+    t0 = time.perf_counter()
+    exact = box_qp_solve_batch(P, q, lo, hi)
+    dt = time.perf_counter() - t0
+    res = {
+        f"{prefix}_max_abs_err": float(
+            np.max(np.abs(np.asarray(l, np.float64) - exact))
+        )
+    }
+    if time_it:
+        res[f"{prefix}_problems_per_sec"] = round(q.shape[0] / dt, 1)
+    return res
 
 
 def secular_single_contact(P: np.ndarray, q: np.ndarray, r: float) -> np.ndarray:

@@ -25,8 +25,21 @@ class SolverConfig:
       eps: absolute convergence tolerance on the dual residual
         (``rho * ||l2 - l2_prev||_inf``). Reference default 1e-10
         (pybindings.cpp:76).
-      eps_rel: relative primal tolerance used only by the QCQP stopping rule
-        ``res_prim < eps + eps_rel * ||l||_2`` (Solver.cpp:524, :548).
+      eps_rel: relative primal tolerance used by the QCQP stopping rule
+        ``res_prim < eps + eps_rel * ||l||_2`` (Solver.cpp:524, :548) and,
+        when ``primal_check`` is on, by the QP family too.
+      primal_check: require ``res_prim < eps + eps_rel * ||l||_2`` in the
+        QP-family stopping rule as well (the QCQP rule always has it).
+        DIVERGENCE from the reference, which stops the QP family on the
+        dual residual alone (Solver.cpp:88) and therefore carries a false-
+        convergence mode: when the prox output l2 repeats exactly between
+        consecutive iterations (iterates parked at a box corner - common
+        with two-sided/narrow boxes), res_dual == 0 while the primal split
+        ||l - l2|| is still O(1), and the solver certifies a feasible but
+        SUBOPTIMAL point after a handful of iterations. Found by the exact
+        BVLS box oracle (benchmarks/external_oracle.py); the native
+        reference-equivalent solver reproduces the failure bit-for-bit.
+        Set False only for strict reference iteration parity.
       mu_prox: proximal regularisation weight (pybindings.cpp:76).
       max_iter: hard iteration cap (static; the loop is a ``lax.while_loop``
         bounded by this).
@@ -157,6 +170,7 @@ class SolverConfig:
 
     eps: float = 1e-10
     eps_rel: float = 1e-4
+    primal_check: bool = True
     mu_prox: float = 1e-7
     max_iter: int = 1000
     adaptive_rho: bool = True

@@ -276,7 +276,10 @@ def _admm_chol_kernel(
             dual_ok = eps_ok | (delta <= floor * jnp.maximum(l2inf, f32(1.0)))
         else:
             dual_ok = eps_ok
-        if qcqp_stopping:
+        if qcqp_stopping or cfg.primal_check:
+            # QCQP rule; with cfg.primal_check also for the QP family (the
+            # reference's dual-only rule falsely certifies at box corners -
+            # see SolverConfig.primal_check).
             lnorm = jnp.sqrt(jnp.sum(l * l, axis=0, keepdims=True))
             newly = ((rp < eps + eps_rel * lnorm) & dual_ok).astype(f32)
         else:

@@ -314,7 +314,10 @@ def make_admm_step(
             dual_ok = eps_ok | (delta <= floor * jnp.maximum(1.0, linf_norm(l2)))
         else:
             dual_ok = eps_ok
-        if qcqp_stopping:
+        if qcqp_stopping or cfg.primal_check:
+            # QCQP rule (Solver.cpp:548); with cfg.primal_check also applied
+            # to the QP family - the reference's dual-only rule (:88) has a
+            # false-convergence mode at box corners (see SolverConfig).
             prim_ok = res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)
             newly = prim_ok & dual_ok
         else:

@@ -199,6 +199,11 @@ SolveInfo admm_solve(const double* P_in, const double* q, ProxKind kind,
         std::copy(x.begin(), x.end(), l2.begin());
         info.res_prim = rp;
         info.res_dual = rd;
+        // DELIBERATELY reference-faithful (this solver is the baseline /
+        // parity oracle): the QP-family branch checks the dual residual
+        // alone (Solver.cpp:88) and therefore inherits the reference's
+        // false-convergence mode at box corners (SURVEY.md reference bug
+        // #8). The JAX engine fixes it by default (SolverConfig.primal_check).
         const bool done = qcqp_stopping
                               ? (rp < eps + eps_rel * norm2(l.data(), n) && rd < eps)
                               : (rd < eps);

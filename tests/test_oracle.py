@@ -28,11 +28,15 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "benchmarks")
 )
 from external_oracle import (  # noqa: E402
+    box_qp_solve_batch,
+    nnls_solve_batch,
     secular_qcqp_batch,
+    signed_box_bounds,
     trust_constr_qcqp,
 )
 
 QCFG = dq.QCQP_DEFAULTS.replace(eps=1e-10, max_iter=50000)
+BCFG = dq.QP_DEFAULTS.replace(eps=1e-10, max_iter=50000)
 
 
 def _single_contact_problems(rng, b=24):
@@ -76,6 +80,59 @@ def test_solve_qcqp_matches_secular_oracle(rng):
             P, q, r.reshape(-1, 1), np.ones((len(r), 1)), config=QCFG
         )
     )
+    assert float(np.max(np.abs(l - exact))) < 1e-7
+
+
+def _box_problems(rng, spd, b=16, n=10):
+    P = np.asarray(spd(rng, b, n), np.float64)
+    q = rng.standard_normal((b, n))
+    lo = -(rng.random((b, n)) * 0.5 + 0.05)
+    hi = rng.random((b, n)) * 0.5 + 0.05
+    return P, q, lo, hi
+
+
+def test_bvls_oracle_satisfies_box_kkt(rng, spd):
+    """BVLS box solutions pass the f64 KKT residual check at working
+    precision - establishing the box oracle from first principles."""
+    P, q, lo, hi = _box_problems(rng, spd)
+    l = box_qp_solve_batch(P, q, lo, hi)
+    res = verify.check_box_qp(P, q, lo, hi, l)
+    assert float(np.max(np.asarray(res.stationarity))) < 1e-9
+    assert float(np.max(np.asarray(res.primal))) < 1e-12
+    assert float(np.max(np.asarray(res.complementarity))) < 1e-9
+
+
+def test_bvls_agrees_with_nnls_on_nonneg_box(rng, spd):
+    """With lo = 0, hi = +big the box oracle reproduces the NNLS oracle:
+    the two external active-set referees referee each other."""
+    b, n = 12, 8
+    P = np.asarray(spd(rng, b, n), np.float64)
+    q = rng.standard_normal((b, n))
+    bvls = box_qp_solve_batch(
+        P, q, np.zeros((b, n)), np.full((b, n), 1e6)
+    )
+    nnls = nnls_solve_batch(P, q)
+    assert float(np.max(np.abs(bvls - nnls))) < 1e-10
+
+
+def test_solve_box_qp_matches_bvls(rng, spd):
+    """solve_box_qp (f64, tight eps) vs the exact BVLS oracle."""
+    P, q, lo, hi = _box_problems(rng, spd)
+    exact = box_qp_solve_batch(P, q, lo, hi)
+    l = np.asarray(dq.solve_box_qp(P, q, lo, hi, config=BCFG))
+    assert float(np.max(np.abs(l - exact))) < 1e-7
+
+
+def test_solve_signed_box_qp_matches_bvls(rng, spd):
+    """solve_signed_box_qp vs BVLS on the effective per-coordinate box,
+    including v == 0 coordinates (both sides pin those to exactly 0)."""
+    P, q, lo, hi = _box_problems(rng, spd)
+    v = rng.standard_normal(q.shape)
+    v[:, 0] = 0.0  # degenerate sign slot: prox pins l_0 = 0
+    lo_eff, hi_eff = signed_box_bounds(lo, hi, v)
+    exact = box_qp_solve_batch(P, q, lo_eff, hi_eff)
+    l = np.asarray(dq.solve_signed_box_qp(P, q, lo, hi, v, config=BCFG))
+    assert float(np.max(np.abs(l[:, 0]))) == 0.0
     assert float(np.max(np.abs(l - exact))) < 1e-7
 
 
