@@ -79,6 +79,9 @@ def box_qp_solve_batch(
     q = np.asarray(q, np.float64)
     lo = np.asarray(lo, np.float64)
     hi = np.asarray(hi, np.float64)
+    # an infeasible bound pair must fail loudly, not be silently refereed
+    # as a pinned coordinate (only lo == hi means "pinned")
+    assert np.all(lo <= hi), "box oracle requires lo <= hi coordinate-wise"
     B, n = q.shape
     out = np.empty_like(q)
     for i in range(B):

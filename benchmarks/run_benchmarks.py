@@ -759,8 +759,84 @@ def config8(reps):
     return out
 
 
+def config9(reps):
+    """B=2048 box + signed-box QP fwd+bwd with the exact BVLS external
+    referee - the box classes' committed benchmark row (ADVICE r3: the
+    box_check helper's consumer). The signed-box class is refereed through
+    its per-coordinate effective-bounds reduction (external_oracle.
+    signed_box_bounds), exact for lo <= 0 <= hi."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+
+    b, n = 2048, 24
+    rng = np.random.default_rng(9)
+    P = _spd(rng, b, n, np.float32)
+    q = rng.standard_normal((b, n)).astype(np.float32)
+    lo = -(rng.random((b, n)) * 0.9 + 0.1).astype(np.float32)
+    hi = (rng.random((b, n)) * 0.9 + 0.1).astype(np.float32)
+    v = rng.standard_normal((b, n)).astype(np.float32)
+    cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=2000)
+    out = {
+        "config": 9,
+        "desc": f"B={b} N={n} box + signed-box QP fwd+bwd (BVLS referee)",
+    }
+    k = 256    # referee subset (BVLS is a per-problem Python loop)
+
+    def run_class(tag, solve, solve_stats, args, argnums):
+        def loss(*a):
+            return jnp.sum(solve(*a) ** 2)
+
+        def make_loop(r):
+            @jax.jit
+            def loop(*a):
+                def body(j, acc):
+                    val, g = jax.value_and_grad(loss, argnums=argnums)(
+                        a[0], a[1] + 1e-5 * j, *a[2:]
+                    )
+                    return acc + val + g[0][0, 0, 0]
+                return jax.lax.fori_loop(0, r, body, 0.0)
+            return loop
+
+        dt = _timed_loop(make_loop(reps), args, reps, make_loop(1))
+        out[f"{tag}_problems_per_sec"] = round(b / dt, 1)
+        l, stats = jax.jit(solve_stats)(*args)
+        out[f"{tag}_converged_frac"] = float(
+            np.mean(np.array(stats.converged))
+        )
+        return np.array(l)
+
+    args_box = tuple(map(jnp.asarray, (P, q, lo, hi)))
+    l_box = run_class(
+        "box", lambda *a: dq.solve_box_qp(*a, config=cfg),
+        lambda *a: dq.solve_box_qp_with_stats(*a, config=cfg),
+        args_box, (0, 1, 2, 3),
+    )
+    args_sb = tuple(map(jnp.asarray, (P, q, lo, hi, v)))
+    l_sb = run_class(
+        "signed_box", lambda *a: dq.solve_signed_box_qp(*a, config=cfg),
+        lambda *a: dq.solve_signed_box_qp_with_stats(*a, config=cfg),
+        args_sb, (0, 1, 2, 3),
+    )
+    try:
+        from external_oracle import box_check, signed_box_bounds
+
+        out.update(box_check(
+            P[:k], q[:k], lo[:k], hi[:k], l_box[:k], prefix="box_bvls"
+        ))
+        lo_eff, hi_eff = signed_box_bounds(lo[:k], hi[:k], v[:k])
+        out.update(box_check(
+            P[:k], q[:k], lo_eff, hi_eff, l_sb[:k], prefix="signed_box_bvls"
+        ))
+        out["bvls_problems_checked"] = k
+    except Exception as e:  # noqa: BLE001
+        out["bvls_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7, 8: config8}
+           6: config6, 7: config7, 8: config8, 9: config9}
 
 
 def main():

@@ -101,6 +101,12 @@ class SolverConfig:
         float64 at reference tolerances (8 ulps ~ 2e-15), but when adaptive
         rho grows large, rho*delta can exceed eps while delta sits below the
         ulp floor - check the stalled flag if a certified eps matters.
+        When the primal test is active (QCQP, or ``primal_check``), the same
+        floor also bounds the primal residual: ``res_prim`` at the noise
+        floor counts as passed (and the solve is flagged stalled unless both
+        residuals met eps proper) - without it, a problem whose primal
+        residual floors above ``eps + eps_rel*||l||`` (e.g. ``||l*|| = 0``
+        with eps below the f32 floor) would spin its tile to max_iter.
         0 disables.
       rho_sync: when True (default), fired rho updates apply only on global
         iterations ``it % rho_update_period == 0``, so every problem's

@@ -273,7 +273,8 @@ def _admm_chol_kernel(
             # convergence being tile-synchronous - drag their whole tile.
             floor = f32(cfg.stall_tol * 1.1920929e-7)
             l2inf = jnp.max(jnp.abs(l2_n), axis=0, keepdims=True)
-            dual_ok = eps_ok | (delta <= floor * jnp.maximum(l2inf, f32(1.0)))
+            noise = floor * jnp.maximum(l2inf, f32(1.0))
+            dual_ok = eps_ok | (delta <= noise)
         else:
             dual_ok = eps_ok
         if qcqp_stopping or cfg.primal_check:
@@ -281,9 +282,23 @@ def _admm_chol_kernel(
             # reference's dual-only rule falsely certifies at box corners -
             # see SolverConfig.primal_check).
             lnorm = jnp.sqrt(jnp.sum(l * l, axis=0, keepdims=True))
-            newly = ((rp < eps + eps_rel * lnorm) & dual_ok).astype(f32)
+            prim_eps = rp < eps + eps_rel * lnorm
+            if cfg.stall_tol > 0.0:
+                # primal-side noise floor (same scale as the dual one): a
+                # lane whose primal residual sits at the f32 fixed-point
+                # floor but above eps + eps_rel*||l|| (e.g. ||l*|| = 0 with
+                # eps below f32 noise) must not spin its whole tile to
+                # max_iter. The corner-parking mode primal_check exists for
+                # has rp = O(1) - orders above this floor - so the escape
+                # cannot re-admit it.
+                prim_ok = prim_eps | (rp <= noise)
+            else:
+                prim_ok = prim_eps
+            newly = (prim_ok & dual_ok).astype(f32)
+            certified = eps_ok & prim_eps
         else:
             newly = dual_ok.astype(f32)
+            certified = eps_ok
 
         adapt = active * (1.0 - newly)
         if cfg.adaptive_rho:
@@ -384,9 +399,10 @@ def _admm_chol_kernel(
         # reconstruction delta = res_dual / rho.
         rho_rec_o = jnp.where(keep > 0.5, rho, rho_rec)
         conv_o = jnp.maximum(conv, active * newly)
-        # eps-certified vs noise-floor stall (SolveStats.stalled)
+        # eps-certified vs noise-floor stall (SolveStats.stalled): certified
+        # means BOTH residual tests passed at eps proper, not via a floor
         stall_o = jnp.maximum(
-            stall, active * newly * (1.0 - eps_ok.astype(f32))
+            stall, active * newly * (1.0 - certified.astype(f32))
         )
         iters_o = iters + active
         done = jnp.min(conv_o) > 0.5

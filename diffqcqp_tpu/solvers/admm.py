@@ -311,17 +311,27 @@ def make_admm_step(
             # machine-precision stall: the iterate cannot move below the
             # working dtype's fixed-point noise floor (see SolverConfig).
             floor = cfg.stall_tol * jnp.finfo(dtype).eps
-            dual_ok = eps_ok | (delta <= floor * jnp.maximum(1.0, linf_norm(l2)))
+            noise = floor * jnp.maximum(1.0, linf_norm(l2))
+            dual_ok = eps_ok | (delta <= noise)
         else:
             dual_ok = eps_ok
         if qcqp_stopping or cfg.primal_check:
             # QCQP rule (Solver.cpp:548); with cfg.primal_check also applied
             # to the QP family - the reference's dual-only rule (:88) has a
             # false-convergence mode at box corners (see SolverConfig).
-            prim_ok = res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)
+            prim_eps = res_prim < eps + cfg.eps_rel * jnp.linalg.norm(l, axis=-1)
+            if cfg.stall_tol > 0.0:
+                # primal-side noise floor, same scale as the dual one (the
+                # kernel mirrors this; see admm_pallas.py for the argument
+                # why the corner-parking mode cannot slip through it).
+                prim_ok = prim_eps | (res_prim <= noise)
+            else:
+                prim_ok = prim_eps
             newly = prim_ok & dual_ok
+            certified = eps_ok & prim_eps
         else:
             newly = dual_ok
+            certified = eps_ok
 
         # --- adaptive rho (Solver.cpp:91-120), only for problems that are
         # still active and did not just converge (the reference breaks before
@@ -384,8 +394,9 @@ def make_admm_step(
         # delta above) - frozen with them, BEFORE this iteration's update
         rho_res = jnp.where(active, s.rho, s.rho_res)
         converged = s.converged | (active & newly)
-        # eps-certified vs noise-floor stall (SolveStats.stalled)
-        stalled = s.stalled | (active & newly & ~eps_ok)
+        # eps-certified vs noise-floor stall (SolveStats.stalled): certified
+        # means BOTH residual tests passed at eps proper, not via a floor
+        stalled = s.stalled | (active & newly & ~certified)
         iters = s.iters + active.astype(jnp.int32)
 
         local_done = jnp.all(converged)

@@ -46,6 +46,39 @@ def test_stall_tol_zero_disables(rng, spd):
     assert int(np.array(st.iterations).max()) == 500
 
 
+def test_primal_stall_floor_zero_solution(rng, spd):
+    """ADVICE r3: with primal_check on, a problem whose solution is nearly
+    zero (eps_rel*||l*|| below the f32 primal noise floor) and an eps below
+    the f32 floor must still terminate via the primal-side noise floor -
+    flagged stalled unless both residuals met eps proper - instead of
+    spinning its tile to max_iter."""
+    b, n = 8, 8
+    P = jnp.array(spd(rng, b, n)).astype(jnp.float32)
+    # q > 0 except one barely-negative coordinate: l* has one component
+    # ~1e-4, so eps_rel*||l|| ~ 1e-8 sits BELOW the f32 primal noise floor
+    # (~1e-7) and the relative primal rule can never pass
+    q = np.asarray(rng.random((b, n)) + 0.5, np.float32)
+    q[:, 0] = -2e-4
+    q = jnp.array(q)
+    for backend in ("xla", "pallas"):
+        cfg = dq.SolverConfig(eps=1e-12, max_iter=600, backend=backend)
+        l, st = dq.solve_qp_with_stats(P, q, config=cfg)
+        assert bool(np.all(np.array(st.converged))), backend
+        assert int(np.array(st.iterations).max()) < 600, backend
+        # every floor-admitted problem is flagged; eps-certified ones
+        # (residuals can land at exact 0 in f32) legitimately are not
+        certified = (np.array(st.res_dual) < cfg.eps) & (
+            np.array(st.res_prim) < cfg.eps
+        )
+        assert bool(np.all(np.array(st.stalled) | certified)), backend
+        # the floor-admitted solve is still correct at f32 accuracy
+        l64 = dq.solve_qp(
+            P.astype(jnp.float64), q.astype(jnp.float64),
+            config=dq.SolverConfig(eps=1e-11, max_iter=20000, backend="xla"),
+        )
+        np.testing.assert_allclose(np.array(l), np.array(l64), atol=1e-5)
+
+
 def test_rho_sync_false_matches_reference_schedule(rng, spd):
     """rho_sync=False + power-iteration L reproduces the reference's exact
     per-problem staggered throttle: per-problem iteration counts and
