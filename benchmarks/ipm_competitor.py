@@ -1,0 +1,165 @@
+"""Batched interior-point QP competitor (the qpth/OptNet algorithm class).
+
+The reference's headline QP runtime figure compares against OptNet's qpth
+``QPFunction`` - a BATCHED primal-dual interior-point method with dense
+batched factorizations (test_script.py:137-191; Amos & Kolter, OptNet 2017;
+Mattingley & Boyd, CVXGEN 2012). qpth itself is not installable in this
+environment, so this module implements the same algorithm from the math -
+Mehrotra predictor-corrector primal-dual IPM on the non-negative QP
+
+    min 1/2 x'Px + q'x   s.t.  x >= 0
+    KKT:  Px + q - z = 0,  x >= 0, z >= 0, x.z = 0
+
+batched over the problem dimension in torch float64 (CPU), with one batched
+Cholesky of (P + diag(z/x)) per IPM iteration and the qpth-style implicit
+backward (one extra batched solve with the saved factorization):
+
+    differentiate the KKT system:  (P + diag(z/x)) v = grad_x
+    grad_q = -v,   grad_P = -v x'   (the reference's convention, qcqp.py:49)
+
+This is a RUNTIME competitor column, not an accuracy oracle (scipy NNLS is
+the exact referee); its own convergence and accuracy are still recorded so
+the comparison is between solvers that actually solved the same problems.
+No code is taken from qpth - only the published algorithm.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import torch
+
+
+def _ipm_forward(P: torch.Tensor, q: torch.Tensor, tol: float, max_iter: int):
+    """Mehrotra predictor-corrector IPM, batched. Returns (x, z, stats)."""
+    B, n = q.shape
+    x = torch.ones_like(q)
+    z = torch.ones_like(q)
+    iters = torch.zeros(B, dtype=torch.int64)
+    active = torch.ones(B, dtype=torch.bool)
+    for it in range(max_iter):
+        rd = torch.einsum("bij,bj->bi", P, x) + q - z
+        mu = (x * z).mean(dim=1)
+        conv = (rd.abs().amax(dim=1) < tol) & (mu < tol)
+        active = active & ~conv
+        if not bool(active.any()):
+            break
+        iters += active.to(torch.int64)
+        d = z / x
+        M = P + torch.diag_embed(d)
+        L = torch.linalg.cholesky(M)
+
+        def solve(rhs):
+            return torch.cholesky_solve(rhs.unsqueeze(2), L).squeeze(2)
+
+        # affine (predictor) direction: sigma = 0
+        dxa = solve(-rd - z)
+        dza = -z - d * dxa
+        # max step to the boundary, per problem
+        def max_step(v, dv):
+            r = torch.where(dv < 0, -v / dv, torch.full_like(v, np.inf))
+            return torch.clamp(r.amin(dim=1), max=1.0)
+
+        ap = max_step(x, dxa)
+        ad = max_step(z, dza)
+        mu_aff = ((x + ap[:, None] * dxa) * (z + ad[:, None] * dza)).mean(dim=1)
+        sigma = (mu_aff / mu.clamp_min(1e-300)) ** 3
+        # corrector + centering
+        rhs = -rd - z + (sigma[:, None] * mu[:, None] - dxa * dza) / x
+        dx = solve(rhs)
+        dz = -z + (sigma[:, None] * mu[:, None] - dxa * dza) / x - d * dx
+        a = 0.99 * torch.minimum(max_step(x, dx), max_step(z, dz))
+        a = torch.where(active, a, torch.zeros_like(a))  # freeze converged
+        x = x + a[:, None] * dx
+        z = z + a[:, None] * dz
+    rd = torch.einsum("bij,bj->bi", P, x) + q - z
+    mu = (x * z).mean(dim=1)
+    stats = {
+        "iters_mean": float(iters.to(torch.float64).mean()),
+        "iters_max": int(iters.max()),
+        "converged_frac": float(
+            ((rd.abs().amax(dim=1) < tol) & (mu < tol)).to(torch.float64).mean()
+        ),
+    }
+    return x, z, stats
+
+
+class _QPIpmFn(torch.autograd.Function):
+    """qpth-interface-equivalent: forward = batched IPM, backward = one
+    batched KKT solve with a fresh factorization of (P + diag(z/x))
+    (qpth re-solves with its saved factorization; re-factorizing is a
+    slight OVERestimate of the competitor's backward cost, <= one of its
+    ~15 forward iterations)."""
+
+    @staticmethod
+    def forward(ctx, P, q, tol, max_iter):
+        with torch.no_grad():
+            x, z, stats = _ipm_forward(P, q, tol, max_iter)
+        ctx.save_for_backward(P, x, z)
+        ctx.stats = stats
+        return x
+
+    @staticmethod
+    def backward(ctx, grad_x):
+        P, x, z = ctx.saved_tensors
+        d = z / torch.clamp(x, min=1e-14)
+        M = P + torch.diag_embed(d)
+        L = torch.linalg.cholesky(M)
+        v = torch.cholesky_solve(grad_x.unsqueeze(2), L).squeeze(2)
+        grad_q = -v
+        grad_P = -torch.einsum("bi,bj->bij", v, x)
+        return grad_P, grad_q, None, None
+
+
+def solve_qp_ipm(P, q, tol: float = 1e-8, max_iter: int = 50):
+    """Differentiable batched non-negative QP solve via the IPM.
+
+    P (B, n, n) SPD, q (B, n); numpy or torch, promoted to f64 torch.
+    Returns a torch tensor wired for autograd through ``_QPIpmFn``.
+    """
+    Pt = torch.as_tensor(np.asarray(P), dtype=torch.float64)
+    qt = torch.as_tensor(np.asarray(q), dtype=torch.float64)
+    return _QPIpmFn.apply(Pt, qt, tol, max_iter)
+
+
+def ipm_columns(P, q, tol: float = 1e-10, reps: int = 3,
+                threads: int | None = None) -> dict:
+    """Timed fwd+bwd competitor columns for a QP batch.
+
+    Forward + backward (sum-of-squares cotangent, matching the suite's
+    timed loops), best of `reps` wall-clock passes. `threads` pins torch's
+    intra-op pool (None = torch default, reported; this host has ONE core,
+    so default == single-thread == the native baseline's config).
+    Default tol=1e-10: measured solution accuracy ~1.5e-5 vs the exact NNLS
+    oracle - the same level the f32 TPU solver delivers at eps=1e-7 - so
+    the throughput comparison is at matched accuracy (1e-12 -> 8e-9 costs
+    the IPM ~2 more iterations; recorded in the accuracy columns)."""
+    if threads is not None:
+        torch.set_num_threads(threads)
+    Pt = torch.as_tensor(np.asarray(P), dtype=torch.float64)
+    qt = torch.as_tensor(np.asarray(q), dtype=torch.float64)
+    B = qt.shape[0]
+
+    def fwd_bwd():
+        Pv = Pt.clone().requires_grad_(True)
+        qv = qt.clone().requires_grad_(True)
+        x = _QPIpmFn.apply(Pv, qv, tol, 50)
+        loss = (x * x).sum()
+        loss.backward()
+        return x.detach()
+
+    x = fwd_bwd()  # warm-up (torch JIT-free, but first call pays allocs)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = fwd_bwd()
+        best = min(best, time.perf_counter() - t0)
+    _, _, stats = _ipm_forward(Pt, qt, tol, 50)
+    return {
+        "ipm_problems_per_sec": round(B / best, 1),
+        "ipm_threads": torch.get_num_threads(),
+        "ipm_iters_mean": round(stats["iters_mean"], 2),
+        "ipm_converged_frac": stats["converged_frac"],
+        "ipm_solution": np.asarray(x),
+    }

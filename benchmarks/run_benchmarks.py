@@ -14,6 +14,14 @@ Configs (BASELINE.md "north-star targets"):
   5  B=65536 QCQP batch-sharded over a device mesh (all local devices;
      single-chip here, the same code path scales to multi-host meshes)
 
+Beyond-BASELINE configs added by later rounds:
+  6  B=2048  dense N=96 QP (large-N chol/Newton-Schulz engine)
+  7  reference's own pathological exp-diag QP generator, +- equilibration
+  8  mixed-conditioning QCQP (straggler-compaction economics)
+  9  B=2048  box + signed-box QP fwd+bwd, exact BVLS referee
+ 10  B=4096  dense QP fwd+bwd vs a batched torch-f64 IPM competitor
+     (the qpth/OptNet algorithm; benchmarks/ipm_competitor.py)
+
 Timing protocol: the repetition loop runs ON DEVICE inside one jitted call
 (the TPU tunnel in this environment makes per-dispatch host timing
 unreliable), with inputs perturbed per repetition; a scalar readback closes
@@ -835,8 +843,71 @@ def config9(reps):
     return out
 
 
+def config10(reps):
+    """B=4096 N=24 dense non-negative QP fwd+bwd: this solver (TPU, f32)
+    vs a batched torch-f64 interior-point competitor on the host CPU -
+    the qpth/OptNet algorithm the reference's runtime figure compares
+    against (test_script.py:137-191; qpth itself is not installable here,
+    so benchmarks/ipm_competitor.py implements the published algorithm).
+    Both sides are refereed by the exact NNLS oracle on the same subset so
+    the throughput ratio is at stated, matched accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    import diffqcqp_tpu as dq
+
+    b, n = 4096, 24
+    rng = np.random.default_rng(10)
+    P = _spd(rng, b, n, np.float32)
+    q = rng.standard_normal((b, n)).astype(np.float32)
+    cfg = dq.QP_DEFAULTS.replace(
+        eps=1e-7, max_iter=400, rho0_scale=2.0, rho_update_period=24,
+        power_iters=10,
+    )
+    args = (jnp.asarray(P), jnp.asarray(q))
+
+    def loss(P, q):
+        return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
+
+    def make_loop(r):
+        @jax.jit
+        def loop(P, q):
+            def body(k, acc):
+                v, g = jax.value_and_grad(loss, argnums=(0, 1))(P, q + 1e-5 * k)
+                return acc + v + g[0][0, 0, 0]
+            return jax.lax.fori_loop(0, r, body, 0.0)
+        return loop
+
+    dt = _timed_loop(make_loop(reps), args, reps, make_loop(1))
+    l = np.array(jax.jit(lambda *a: dq.solve_qp(*a, config=cfg))(*args))
+    k = 256
+    out = {
+        "config": 10,
+        "desc": f"B={b} N={n} dense QP fwd+bwd vs batched torch-f64 IPM (CPU)",
+        "problems_per_sec": round(b / dt, 1),
+    }
+    out.update(_nnls_columns(P[:k], q[:k], l[:k]))
+    out["nnls_problems_checked"] = k
+    try:
+        from ipm_competitor import ipm_columns
+
+        cols = ipm_columns(P, q, reps=max(2, min(reps, 3)))
+        ipm_l = cols.pop("ipm_solution")
+        out.update(cols)
+        from external_oracle import nnls_solve_batch
+
+        exact = nnls_solve_batch(P[:k], q[:k])
+        out["ipm_max_abs_err"] = float(np.max(np.abs(ipm_l[:k] - exact)))
+        out["speedup_vs_ipm"] = round(
+            out["problems_per_sec"] / cols["ipm_problems_per_sec"], 1
+        )
+    except Exception as e:  # noqa: BLE001
+        out["ipm_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7, 8: config8, 9: config9}
+           6: config6, 7: config7, 8: config8, 9: config9, 10: config10}
 
 
 def main():

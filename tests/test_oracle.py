@@ -147,3 +147,38 @@ def test_solve_qcqp_matches_trust_constr_multicontact(rng, spd):
     ref = trust_constr_qcqp(P, q, l_n * mu)
     l = np.asarray(dq.solve_qcqp(P, q, l_n, mu, config=QCFG))
     assert float(np.max(np.abs(l - ref))) < 1e-6
+
+
+def test_ipm_competitor_matches_nnls(rng, spd):
+    """The batched torch IPM runtime competitor (benchmarks/
+    ipm_competitor.py) must itself solve the problems it is timed on:
+    solution vs the exact NNLS oracle at its benchmark tolerance, and its
+    qpth-style implicit backward vs finite differences of its own loss."""
+    import torch
+
+    from ipm_competitor import _QPIpmFn, solve_qp_ipm
+
+    b, n = 12, 10
+    P = np.asarray(spd(rng, b, n), np.float64)
+    q = rng.standard_normal((b, n))
+    x = solve_qp_ipm(P, q, tol=1e-10, max_iter=60).detach().numpy()
+    exact = nnls_solve_batch(P, q)
+    assert float(np.max(np.abs(x - exact))) < 1e-4   # tol=1e-10 ~ 1.5e-5
+    x12 = solve_qp_ipm(P, q, tol=1e-12, max_iter=60).detach().numpy()
+    assert float(np.max(np.abs(x12 - exact))) < 1e-7
+
+    Pt = torch.tensor(P)
+    qt = torch.tensor(q, requires_grad=True)
+    loss = (_QPIpmFn.apply(Pt, qt, 1e-12, 60) ** 2).sum()
+    loss.backward()
+    g = qt.grad.numpy()
+    eps = 1e-6
+    i, j = 1, 2
+    qp_, qm_ = q.copy(), q.copy()
+    qp_[i, j] += eps
+    qm_[i, j] -= eps
+    fd = (
+        float((solve_qp_ipm(P, qp_, tol=1e-12, max_iter=60) ** 2).sum())
+        - float((solve_qp_ipm(P, qm_, tol=1e-12, max_iter=60) ** 2).sum())
+    ) / (2 * eps)
+    assert abs(fd - g[i, j]) < 1e-3 * max(1.0, abs(fd))
