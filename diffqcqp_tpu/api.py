@@ -108,6 +108,11 @@ def _use_pallas(P, q, cfg: SolverConfig) -> bool:
     synchronised, so it is not used when a cross-shard axis_name is set
     (the XLA engine's pmin handles that)."""
     if cfg.backend == "pallas":
+        if cfg.accel:
+            raise ValueError(
+                "SolverConfig.accel is not supported by the pallas backend; "
+                "use backend='xla' (or 'auto', which avoids the kernel)."
+            )
         return True
     if cfg.backend != "auto":
         return False
@@ -116,6 +121,7 @@ def _use_pallas(P, q, cfg: SolverConfig) -> bool:
         and P.shape[-1] <= 48
         and q.dtype == jnp.float32
         and cfg.axis_name is None
+        and not cfg.accel
         and jax.default_backend() == "tpu"
     )
 

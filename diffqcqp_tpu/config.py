@@ -163,6 +163,29 @@ class SolverConfig:
         default: it changes the trajectory (not the solution) whenever the
         warm start is nonzero... and with ws = 0 it sets u0 = -q rather
         than 0, which diverges from the reference's iterate sequence.
+      accel: opt-in accelerated ADMM (Goldstein et al. 2014 "fast ADMM"
+        momentum with per-problem adaptive restart). Each iteration is still
+        a STANDARD ADMM step - executed from an extrapolated (l2, u) point -
+        so the per-iterate residual definitions and the stationarity bound
+        (verify.stationarity_bound) are unchanged; momentum only moves where
+        the next iteration starts. Restart: the combined residual
+        c = rho(||r - l2'||^2 + ||l2' - l2_hat||^2) must decrease by factor
+        accel_eta per iteration, else that problem's momentum resets (a=1,
+        extrapolation from the plain iterate) - the standard safeguard that
+        makes momentum safe under over-relaxation + adaptive rho (both of
+        which fall outside the vanilla fast-ADMM theory). A trajectory
+        knob, not a semantic change: same fixed point. XLA engine only
+        (auto dispatch avoids the pallas kernel; backend='pallas' raises).
+        MEASURED (DESIGN.md section 8, flagship QCQP distribution): in the
+        vanilla regime (alpha_relax=1.0, adaptive_rho=False) momentum cuts
+        mean iterations ~28% (43 -> 31) as the fast-ADMM literature
+        promises - but the default pipeline's over-relaxation alone (29)
+        already beats it, the tuned adaptive-rho schedule (17) dominates
+        it outright, and STACKING momentum on that pipeline is strictly
+        worse everywhere tried (mean 17 -> 67, tails blow up 23 -> 400).
+        Momentum and over-relaxation/adaptive-rho harvest the same slack.
+        Use only with alpha_relax=1.0 and adaptive_rho=False.
+      accel_eta: restart threshold (Goldstein's eta), default 0.999.
       equilibrate: Ruiz-rescale each problem (ops/equilibrate.py) before
         solving and map the solution back - an algorithmic improvement the
         reference lacks, essential for its own pathologically-conditioned
@@ -198,6 +221,8 @@ class SolverConfig:
     rho0_scale: float = 1.0
     compact_iters: int = 0
     warm_start_dual: bool = False
+    accel: bool = False
+    accel_eta: float = 0.999
     equilibrate: bool = False
     ruiz_iters: int = 10
 

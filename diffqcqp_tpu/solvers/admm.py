@@ -87,6 +87,14 @@ class ADMMState(NamedTuple):
     fact_inv: Array      # (B, N, N) inverse of P+(rho+mu)I (linsolve='chol'
                          # mode, refactored on rho-change iterations);
                          # scalar 0.0 dummy in the spectral/diagonal modes
+    l2_plain: Array      # (B, N) un-extrapolated l2 (cfg.accel mode: the
+                         # carried s.l2/s.u are the EXTRAPOLATED points the
+                         # next iteration starts from; the plain iterates are
+                         # the solution candidates). Scalar dummies when off.
+    u_plain: Array       # (B, N) un-extrapolated dual (cfg.accel mode)
+    acc_a: Array         # (B,) Nesterov a_k (cfg.accel mode)
+    acc_c: Array         # (B,) previous combined residual c_{k-1} for the
+                         # per-problem restart test (cfg.accel mode)
 
 
 class SolveStats(NamedTuple):
@@ -198,6 +206,15 @@ def _initial_state(
         res_dual=jnp.full((B,), jnp.inf, dtype),
         rho_res=rho.astype(dtype),
         all_done=jnp.zeros((), bool),
+        l2_plain=(
+            warm_start.astype(dtype) if cfg.accel else jnp.zeros((), dtype)
+        ),
+        u_plain=u0 if cfg.accel else jnp.zeros((), dtype),
+        acc_a=jnp.ones((B,), dtype) if cfg.accel else jnp.zeros((), dtype),
+        acc_c=(
+            jnp.full((B,), jnp.inf, dtype) if cfg.accel
+            else jnp.zeros((), dtype)
+        ),
     )
 
 
@@ -240,7 +257,10 @@ def admm_solve(
         converged=final.converged,
         stalled=final.stalled,
     )
-    return final.l2, stats
+    # accel mode: the carried l2 is the EXTRAPOLATED restart point; the
+    # solution is the plain iterate (identical for converged problems,
+    # momentum-free for max_iter-capped ones).
+    return (final.l2_plain if cfg.accel else final.l2), stats
 
 
 def make_admm_step(
@@ -384,9 +404,44 @@ def make_admm_step(
 
         # --- freeze converged problems
         m = active[:, None]
+        if cfg.accel:
+            # fast-ADMM momentum with per-problem adaptive restart
+            # (SolverConfig.accel): the carried (l2, u) become the
+            # EXTRAPOLATED point the next iteration starts from; l2_plain/
+            # u_plain keep the solution candidates. Restart (Goldstein et
+            # al. 2014 eq. 31-like): the combined residual
+            # c = rho(||l2'-r||^2 + ||l2'-l2_hat||^2) must shrink by
+            # accel_eta per iteration, else momentum resets for that
+            # problem (a=1, beta=0, c relaxed by 1/eta).
+            c_new = s.rho * (
+                jnp.sum((l2 - r) ** 2, axis=-1)
+                + jnp.sum((l2 - s.l2) ** 2, axis=-1)
+            )
+            restart = c_new > cfg.accel_eta * s.acc_c
+            a_new = jnp.where(
+                restart, 1.0, 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * s.acc_a**2))
+            )
+            # newly-converged problems freeze at the PLAIN iterate
+            beta = jnp.where(
+                restart | newly, 0.0, (s.acc_a - 1.0) / a_new
+            )[:, None]
+            l2_c = l2 + beta * (l2 - s.l2_plain)
+            u_c = u + beta * (u - s.u_plain)
+            acc_a = jnp.where(active, a_new, s.acc_a)
+            acc_c = jnp.where(
+                active,
+                jnp.where(restart, s.acc_c / cfg.accel_eta, c_new),
+                s.acc_c,
+            )
+            l2_plain = jnp.where(m, l2, s.l2_plain)
+            u_plain = jnp.where(m, u, s.u_plain)
+        else:
+            l2_c, u_c = l2, u
+            acc_a, acc_c = s.acc_a, s.acc_c
+            l2_plain, u_plain = s.l2_plain, s.u_plain
         l = jnp.where(m, l, s.l)
-        l2 = jnp.where(m, l2, s.l2)
-        u = jnp.where(m, u, s.u)
+        l2 = jnp.where(m, l2_c, s.l2)
+        u = jnp.where(m, u_c, s.u)
         q_prox = jnp.where(m, q_prox, s.q_prox)
         res_prim = jnp.where(active, res_prim, s.res_prim)
         res_dual = jnp.where(active, res_dual, s.res_dual)
@@ -416,6 +471,7 @@ def make_admm_step(
             res_prim=res_prim, res_dual=res_dual, rho_res=rho_res,
             all_done=all_done,
             fact_inv=fact_inv,
+            l2_plain=l2_plain, u_plain=u_plain, acc_a=acc_a, acc_c=acc_c,
         )
 
     return cond, body, state0
