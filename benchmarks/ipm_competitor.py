@@ -131,10 +131,12 @@ def ipm_columns(P, q, tol: float = 1e-10, reps: int = 3,
     timed loops), best of `reps` wall-clock passes. `threads` pins torch's
     intra-op pool (None = torch default, reported; this host has ONE core,
     so default == single-thread == the native baseline's config).
-    Default tol=1e-10: measured solution accuracy ~1.5e-5 vs the exact NNLS
-    oracle - the same level the f32 TPU solver delivers at eps=1e-7 - so
-    the throughput comparison is at matched accuracy (1e-12 -> 8e-9 costs
-    the IPM ~2 more iterations; recorded in the accuracy columns)."""
+    Default tol=1e-10: measured solution accuracy ~1e-6..1e-5 vs the exact
+    NNLS oracle - the f32 working-precision level the TPU solver delivers
+    at eps=1e-7 (measured 2e-5..8e-5 on the benchmark distributions; both
+    accuracy columns are recorded next to the throughput ratio so the
+    comparison point is stated, not assumed). Tightening to 1e-12 buys the
+    IPM 8e-9 for ~2 more iterations."""
     if threads is not None:
         torch.set_num_threads(threads)
     Pt = torch.as_tensor(np.asarray(P), dtype=torch.float64)
