@@ -90,7 +90,9 @@ class ADMMState(NamedTuple):
     l2_plain: Array      # (B, N) un-extrapolated l2 (cfg.accel mode: the
                          # carried s.l2/s.u are the EXTRAPOLATED points the
                          # next iteration starts from; the plain iterates are
-                         # the solution candidates). Scalar dummies when off.
+                         # the solution candidates). None when accel is off -
+                         # None is an EMPTY pytree, so the default path's
+                         # while_loop carry is unchanged by the feature.
     u_plain: Array       # (B, N) un-extrapolated dual (cfg.accel mode)
     acc_a: Array         # (B,) Nesterov a_k (cfg.accel mode)
     acc_c: Array         # (B,) previous combined residual c_{k-1} for the
@@ -206,15 +208,10 @@ def _initial_state(
         res_dual=jnp.full((B,), jnp.inf, dtype),
         rho_res=rho.astype(dtype),
         all_done=jnp.zeros((), bool),
-        l2_plain=(
-            warm_start.astype(dtype) if cfg.accel else jnp.zeros((), dtype)
-        ),
-        u_plain=u0 if cfg.accel else jnp.zeros((), dtype),
-        acc_a=jnp.ones((B,), dtype) if cfg.accel else jnp.zeros((), dtype),
-        acc_c=(
-            jnp.full((B,), jnp.inf, dtype) if cfg.accel
-            else jnp.zeros((), dtype)
-        ),
+        l2_plain=warm_start.astype(dtype) if cfg.accel else None,
+        u_plain=u0 if cfg.accel else None,
+        acc_a=jnp.ones((B,), dtype) if cfg.accel else None,
+        acc_c=jnp.full((B,), jnp.inf, dtype) if cfg.accel else None,
     )
 
 

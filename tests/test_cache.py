@@ -20,5 +20,17 @@ def test_enable_compilation_cache_populates(tmp_path, rng, spd):
         entries = os.listdir(path)
         assert entries, "compilation cache stayed empty"
     finally:
-        # do not leak the cache config into other tests
+        # do not leak the cache config into other tests. Resetting the
+        # config dir alone is NOT enough: JAX keeps the initialized cache
+        # SINGLETON (jax._src.compilation_cache._cache) alive after the
+        # dir is unset, so every later compile in the suite still runs
+        # executable.serialize() for a cache write - and XLA's CPU
+        # serialize segfaulted on one of test_verify's executables
+        # (observed jax 0.9.0, full-suite run; crash frame
+        # put_executable_and_time -> executable.serialize()).
+        # reset_cache() returns the module to its pristine state.
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
