@@ -128,7 +128,13 @@ def ipm_columns(P, q, tol: float = 1e-10, reps: int = 3,
     """Timed fwd+bwd competitor columns for a QP batch.
 
     Forward + backward (sum-of-squares cotangent, matching the suite's
-    timed loops), best of `reps` wall-clock passes. `threads` pins torch's
+    timed loops), best of `reps` wall-clock passes. NOTE the protocol
+    asymmetry: the TPU side reports the MEDIAN of differenced passes (the
+    chip drifts +-40%, CLAUDE.md) while this column takes the competitor's
+    BEST pass - the asymmetry biases speedup_vs_ipm DOWNWARD (favors the
+    IPM), i.e. the reported ratio is conservative. Recorded in the
+    returned ``ipm_timing_protocol`` key so results tables can state it.
+    `threads` pins torch's
     intra-op pool (None = torch default, reported; this host has ONE core,
     so default == single-thread == the native baseline's config).
     Default tol=1e-10: measured solution accuracy ~1e-6..1e-5 vs the exact
@@ -160,6 +166,10 @@ def ipm_columns(P, q, tol: float = 1e-10, reps: int = 3,
     _, _, stats = _ipm_forward(Pt, qt, tol, 50)
     return {
         "ipm_problems_per_sec": round(B / best, 1),
+        "ipm_timing_protocol": (
+            "best_of_reps wall clock (TPU column: median of differenced "
+            "passes) - conservative, favors the IPM"
+        ),
         "ipm_threads": torch.get_num_threads(),
         "ipm_iters_mean": round(stats["iters_mean"], 2),
         "ipm_converged_frac": stats["converged_frac"],

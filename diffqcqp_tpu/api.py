@@ -74,7 +74,24 @@ def _build_cfg(
         over["adaptive_rho"] = adaptive_rho
     if axis_name is not None:
         over["axis_name"] = axis_name
-    return cfg.replace(**over) if over else cfg
+    cfg = cfg.replace(**over) if over else cfg
+    if cfg.accel and (cfg.adaptive_rho or cfg.alpha_relax != 1.0):
+        # permitted (the DESIGN.md section 8 measurements run exactly this)
+        # but measured-harmful: momentum stacked on adaptive rho / over-
+        # relaxation blows mean iterations 17 -> 67 and tails 23 -> 400 on
+        # the flagship distribution. Warn rather than raise so the
+        # combination stays measurable.
+        import warnings
+
+        warnings.warn(
+            "SolverConfig.accel combined with adaptive_rho=True or "
+            "alpha_relax != 1.0 is measured-harmful (momentum and the "
+            "adaptive schedule harvest the same slack; tails blow up - "
+            "DESIGN.md section 8). Use accel only with "
+            "alpha_relax=1.0, adaptive_rho=False.",
+            stacklevel=3,
+        )
+    return cfg
 
 
 def _grad_P(dl: Array, l: Array, P: Array) -> Array:

@@ -42,7 +42,10 @@ class SolveTrace(NamedTuple):
     rho: Array           # (iters, B) penalty iteration k RAN WITH (produces
                          # res_dual[k] = rho[k] * ||l2[k] - l2[k-1]||_inf)
     active: Array        # (iters, B) bool: still iterating at this step
-    l2: Array            # (B, N) final iterate after `iters` steps
+    l2: Array            # (B, N) final iterate after `iters` steps (in
+                         # cfg.accel mode: the PLAIN iterate, matching
+                         # admm_solve's return, not the momentum-
+                         # extrapolated restart point the engine carries)
     converged: Array     # (B,) bool at the end of the trace
     iterations: Array    # (B,) int32 per-problem iterations actually run
 
@@ -59,6 +62,11 @@ def _trace(P, q, ws, prox, cfg, iters, qcqp_stopping=False, damp_both=True):
     final, (rp, rd, rho, act) = jax.lax.scan(
         step, state0, None, length=iters
     )
+    # cfg.accel carries the momentum-EXTRAPOLATED (l2, u) as the restart
+    # point; the solution candidate is the plain iterate - return that, as
+    # admm_solve does, so the documented "l2 == admm_solve's at that count"
+    # invariant holds in accel mode too.
+    l2_final = final.l2_plain if cfg.accel else final.l2
     # the recorded quantities are the state BEFORE each body call; residuals
     # are shifted so row k holds the residuals AFTER iteration k. rho and
     # active stay PRE-step: rho[k] is the penalty iteration k ran with (the
@@ -70,7 +78,7 @@ def _trace(P, q, ws, prox, cfg, iters, qcqp_stopping=False, damp_both=True):
         res_dual=jnp.concatenate([rd[1:], final.res_dual[None]], axis=0),
         rho=rho,
         active=act,
-        l2=final.l2,
+        l2=l2_final,
         converged=final.converged,
         iterations=final.iters,
     )

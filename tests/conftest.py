@@ -26,6 +26,24 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# pyproject.toml pins `addopts = "-n 2"`: without pytest-xdist the suite
+# fails at option parsing with an opaque "unrecognized arguments: -n".
+# Conftests for the target dir load BEFORE that validation, so fail here
+# with the real story instead. The pin is NOT for speed: a single process
+# compiling the whole suite's ~190 XLA programs segfaults inside a late
+# compile on this jax build (see pyproject.toml / CLAUDE.md;
+# tests/serial_compile_repro.py re-validates the pin on a jax upgrade).
+import importlib.util  # noqa: E402
+
+if importlib.util.find_spec("xdist") is None:
+    raise pytest.UsageError(
+        "pytest-xdist is required: pyproject.toml pins 'addopts = -n 2' "
+        "because a single process compiling the full suite's XLA program "
+        "set segfaults (jax 0.9.0 CPU backend - see pyproject.toml "
+        "comment). Install pytest-xdist, or to run a small subset "
+        "serially: pytest -p no:cacheprovider -o addopts='' <tests...>"
+    )
+
 
 @pytest.fixture
 def rng():

@@ -102,3 +102,20 @@ def test_accel_capped_returns_plain_iterate(rng):
     nrm = np.sqrt((pts ** 2).sum(-1))
     radii = np.array(l_n) * np.array(mu)
     assert np.all(nrm <= radii * (1 + 1e-5))
+
+
+def test_accel_warns_when_stacked_on_adaptive_schedule(rng, spd):
+    """accel + (adaptive_rho or alpha_relax != 1) is measured-harmful
+    (DESIGN.md section 8); the API warns (not raises - the combination
+    must stay measurable) once per call site."""
+    import warnings
+
+    P = jnp.asarray(np.asarray(spd(rng, 4, 6), np.float64))
+    q = jnp.asarray(rng.standard_normal((4, 6)))
+    bad = dq.QP_DEFAULTS.replace(accel=True, backend="xla")  # adaptive_rho on
+    with pytest.warns(UserWarning, match="measured-harmful"):
+        dq.solve_qp(P, q, config=bad, max_iter=50)
+    good = bad.replace(adaptive_rho=False, alpha_relax=1.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dq.solve_qp(P, q, config=good, max_iter=50)

@@ -10,6 +10,21 @@ import diffqcqp_tpu as dq
 
 
 def test_enable_compilation_cache_populates(tmp_path, rng, spd):
+    # The cleanup below needs jax's PRIVATE reset_cache() (see the finally
+    # block). Resolve it BEFORE running the test body: if a jax upgrade
+    # moves/renames it we skip with a clear message instead of the finally
+    # block turning into a new failure that masks the test body.
+    try:
+        from jax._src.compilation_cache import reset_cache as _reset_cache
+    except ImportError:
+        import pytest
+
+        pytest.skip(
+            "jax._src.compilation_cache.reset_cache moved in jax "
+            f"{jax.__version__}; the test's singleton-cleanup dependency "
+            "needs re-porting (see the finally-block comment)."
+        )
+    prev_min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
     path = dq.enable_compilation_cache(str(tmp_path / "xla_cache"))
     try:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -30,7 +45,7 @@ def test_enable_compilation_cache_populates(tmp_path, rng, spd):
         # put_executable_and_time -> executable.serialize()).
         # reset_cache() returns the module to its pristine state.
         jax.config.update("jax_compilation_cache_dir", None)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        from jax._src import compilation_cache as _cc
-
-        _cc.reset_cache()
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min_secs
+        )
+        _reset_cache()
