@@ -36,6 +36,16 @@ from .diff.jacobian import (
     qp_jacobian,
     signed_box_qp_jacobian,
 )
+from .duals import (
+    box_qp_derivatives,
+    qcqp_derivatives,
+    qp_derivatives,
+    recover_box_qp_duals,
+    recover_qcqp_duals,
+    recover_qp_duals,
+    recover_signed_box_qp_duals,
+    signed_box_qp_derivatives,
+)
 from . import debug, verify
 from .utils.cache import enable_compilation_cache
 
@@ -60,5 +70,13 @@ __all__ = [
     "box_qp_jacobian",
     "signed_box_qp_jacobian",
     "qcqp_jacobian",
+    "recover_qp_duals",
+    "recover_box_qp_duals",
+    "recover_signed_box_qp_duals",
+    "recover_qcqp_duals",
+    "qp_derivatives",
+    "box_qp_derivatives",
+    "signed_box_qp_derivatives",
+    "qcqp_derivatives",
     "__version__",
 ]

@@ -189,12 +189,17 @@ def _pl_plus_q(P: Array, l: Array, q: Array) -> Array:
 # Non-negative QP:  min 1/2 l^T P l + q^T l  s.t.  l >= 0
 # --------------------------------------------------------------------------
 
-def qp_dual(P: Array, q: Array, l: Array, cfg: SolverConfig) -> Array:
+def qp_dual(
+    P: Array, q: Array, l: Array, cfg: SolverConfig, eps: Array | None = None
+) -> Array:
     """Dual recovery, reference convention: gamma = -(Pl+q), zeroed where
     l > eps (Solver.cpp:125-134). Note gamma <= 0 at active constraints in
-    this convention."""
+    this convention. ``eps`` overrides the activity threshold (scalar or
+    (B, 1) array - the public recovery surface passes a scale-aware
+    per-problem floor; None = cfg.eps, the autodiff path's behavior)."""
+    e = cfg.eps if eps is None else eps
     gamma = -_pl_plus_q(P, l, q)
-    return jnp.where(l > cfg.eps, 0.0, gamma)
+    return jnp.where(l > e, 0.0, gamma)
 
 
 def qp_vjp(P: Array, q: Array, l: Array, g: Array, cfg: SolverConfig) -> Array:
@@ -282,7 +287,8 @@ def _box_selector_T(act_lo: Array, act_hi: Array, dtype) -> Array:
 
 
 def box_dual(
-    P: Array, q: Array, l_min: Array, l_max: Array, l: Array, cfg: SolverConfig
+    P: Array, q: Array, l_min: Array, l_max: Array, l: Array,
+    cfg: SolverConfig, eps: Array | None = None,
 ) -> BoxDuals:
     """Least-squares dual recovery J gamma = -(Pl+q) (Solver.cpp:263-308).
 
@@ -292,9 +298,12 @@ def box_dual(
     columns, so J J^T is diagonal and the minimal-norm least-squares
     solution (the refinement's fixed point) is closed form, elementwise:
     gamma_block = J_row^T rhs_i / (#active entries in the row). No batched
-    factorisation anywhere.
+    factorisation anywhere. ``eps`` overrides the activity threshold
+    (scalar or broadcastable array; None = cfg.eps).
     """
-    act_lo, act_hi = _box_activity(l, l_min, l_max, cfg.eps)
+    act_lo, act_hi = _box_activity(
+        l, l_min, l_max, cfg.eps if eps is None else eps
+    )
     rhs = -_pl_plus_q(P, l, q)
     alo = act_lo.astype(l.dtype)
     ahi = act_hi.astype(l.dtype)
@@ -424,12 +433,14 @@ def signed_box_dual(
     v: Array,
     l: Array,
     cfg: SolverConfig,
+    eps: Array | None = None,
 ) -> SignedBoxDuals:
     """3n-dual recovery (Solver.cpp:441-502): sign constraint active iff
-    v*l >= -eps."""
+    v*l >= -eps. ``eps`` overrides the activity threshold (None = cfg.eps)."""
+    e = cfg.eps if eps is None else eps
     v_sign = jnp.sign(v)
-    act_lo, act_hi = _box_activity(l, l_min, l_max, cfg.eps)
-    act_sg = v_sign * l >= -cfg.eps
+    act_lo, act_hi = _box_activity(l, l_min, l_max, e)
+    act_sg = v_sign * l >= -e
     rhs = -_pl_plus_q(P, l, q)
     # Same disjoint-row structure as box_dual: J row i touches columns
     # (i, n+i, 2n+i) with entries (-1, +1, v_i), v_i in {-1, 0, +1}, so the
@@ -529,7 +540,10 @@ class QCQPDuals(NamedTuple):
     active: Array     # (B, nc) bool
 
 
-def qcqp_dual(P: Array, q: Array, radius: Array, l: Array, cfg: SolverConfig) -> QCQPDuals:
+def qcqp_dual(
+    P: Array, q: Array, radius: Array, l: Array, cfg: SolverConfig,
+    eps: Array | None = None, r_min: Array | None = None,
+) -> QCQPDuals:
     """Per-contact dual recovery (Solver.cpp:584-617).
 
     Active iff slack = r - ||l_(i)|| <= eps AND r >= eps (degenerate-cone
@@ -537,13 +551,22 @@ def qcqp_dual(P: Array, q: Array, radius: Array, l: Array, cfg: SolverConfig) ->
     columns (2 l_(i)), so the reference's normal-equations solve
     gamma = -(C~^T C~)^{-1} C~^T (Pl+q) is DIAGONAL:
     gamma_i = -(C^T(Pl+q))_i / (4 ||l_(i)||^2).
+
+    ``eps`` overrides the slack activity threshold and ``r_min`` the
+    degenerate-cone gate (scalar or broadcastable arrays; None = cfg.eps for
+    both, the autodiff path's behavior). The public recovery surface
+    (duals.py) passes scale-aware floors so f32 solutions - whose binding
+    contacts sit O(eps_f32 * r) off the boundary after prox rounding or
+    equilibration map-back - are classified correctly.
     """
     B = l.shape[0]
     nc = radius.shape[-1]
     pts = l.reshape(B, nc, 2)
     norms = jnp.linalg.norm(pts, axis=-1)
     slack = radius - norms
-    active = (slack <= cfg.eps) & (radius >= cfg.eps)
+    e = cfg.eps if eps is None else eps
+    rm = cfg.eps if r_min is None else r_min
+    active = (slack <= e) & (radius >= rm)
     plq = _pl_plus_q(P, l, q).reshape(B, nc, 2)
     num = -2.0 * jnp.sum(pts * plq, axis=-1)          # (C^T (Pl+q))_i negated
     den = 4.0 * jnp.sum(pts * pts, axis=-1)
