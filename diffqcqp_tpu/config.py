@@ -78,15 +78,16 @@ class SolverConfig:
         the loop (one matvec per iteration), refactored only on rho-change
         iterations - kills the eigh setup cliff at large N (196 ms at
         B=4096 N=24 vs 11.6 ms for cholesky, and growing with N; DESIGN.md
-        section 3). ``'auto'`` picks chol for dense N > 48 (above the
-        pallas kernel's auto bound), spectral otherwise.
+        section 3). ``'auto'`` picks chol for dense N > 48, spectral
+        otherwise.
       backend: ``'auto'`` | ``'xla'`` | ``'pallas'``. The pallas backend is
         the fused single-kernel TPU path (kernels/admm_pallas.py; float32,
         dense P, always power-iteration L). ``'auto'`` picks pallas exactly
-        when those conditions hold on a TPU backend AND N <= 48; N in
-        (48, 64] works via an explicit ``backend='pallas'`` (Mosaic compile
-        time of the unrolled kernel grows steeply with N - see
-        api._use_pallas). Else the pure XLA engine (solvers/admm.py).
+        when those conditions hold on a TPU backend AND N <= 96 - the
+        kernel's VMEM ceiling at the minimum 128-lane tile (the round-3
+        compile-time cliff is gone, see ``pallas_rolled``; the kernel still
+        beats the XLA engine 1.5x AT N=96, api._use_pallas). Else the pure
+        XLA engine (solvers/admm.py).
       pallas_tile_b: problems per kernel instance (lane-tile width) for the
         pallas backend.
       stall_tol: machine-precision stall test, in ulps: a problem also counts
@@ -122,6 +123,24 @@ class SolverConfig:
         cuts mean iterations ~30% with identical solutions (the adaptive
         schedule converges to the same fixed point). A tuning knob, not a
         semantic change.
+      pallas_rolled: ``'auto'`` | ``'on'`` | ``'off'`` - whether the fused
+        pallas forward kernel uses the ROLLED (lax.fori_loop over a
+        column-major VMEM factor) Cholesky factorisation instead of the
+        fully unrolled one. The unrolled body's Mosaic compile time grows
+        ~quadratically in its op count (measured one-off: ~10 s at N=24,
+        ~73 s at N=48, ~213 s at N=64, ~16 min + VMEM OOM at N=96 -
+        docs/DESIGN.md), dominated by the n^2/2-op factorisation repeated
+        in up to three instantiations; rolling it bounds compile time at
+        a mask-reduce scalar extraction per inner step + loop overhead.
+        MEASURED (benchmarks/profile_rolled.py, B=4096 QCQP): compile
+        10->3 s at N=24, 67->8 s at N=48, 213->11 s at N=64,
+        infeasible->20 s at N=96, with runtime EQUAL or BETTER everywhere
+        tried (N=48: 3.57->2.61 ms; N=24 within chip drift) - the smaller
+        instruction stream wins. 'auto' rolls whenever the padded N
+        exceeds 16 (tiny problems keep the unrolled form, whose compile
+        is ~1 s and where loop overhead is the largest share). Bitwise-
+        identical trajectories either way (same arithmetic order);
+        parity-tested in tests/test_pallas.py.
       compact_iters: straggler compaction for the pallas backend. 0 (default)
         = off. K > 0 splits the fused solve in two phases: phase 1 runs K
         iterations on the natural batch order, then the still-unconverged
@@ -216,6 +235,7 @@ class SolverConfig:
     backend: str = "auto"
     linsolve: str = "auto"
     pallas_tile_b: int = 512
+    pallas_rolled: str = "auto"
     stall_tol: float = 8.0
     rho_sync: bool = True
     rho0_scale: float = 1.0

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SolverConfig
 from ..solvers.admm import SolveStats
-from .ldl import chol_to_unit, ldl_solve
+from .ldl import chol_to_unit, ldl_solve, ldl_solve_cm
 from .layout import LANES as _LANES
 from .layout import pack_P, pack_vec, qcqp_perm, unpack_vec
 from .layout import round_up as _round_up
@@ -75,6 +75,7 @@ def _admm_chol_kernel(
     n: int, n_real: int, nc: int, prox_kind: int, cfg: SolverConfig,
     qcqp_stopping: bool, damp_both: bool,
     state_in: bool = False, state_out: bool = False, it_offset: int = 0,
+    rolled: bool = False,
 ):
     # positional refs (pallas passes inputs, then outputs, then scratch):
     #   p, q, ws, a, b, c, [svec_in, srow_in],
@@ -136,17 +137,64 @@ def _admm_chol_kernel(
     def factorize(shift):
         """lc_ref <- unit-diag LDL^T of (P + diag(shift)), shift (1, tb).
 
-        Left-looking standard-Cholesky columns (n^2/2 small (n, tb) ops),
-        then converted in place to the zero-diagonal normalised form +
-        dinv plane (kernels/ldl.py) so every solve sweep row is ONE
-        broadcast-FMA. Measured notes: a tile-wide refactorisation costs
-        ~3 ADMM iterations at the flagship shape and is op-LATENCY bound;
-        a right-looking variant with one 3-D trailing-panel broadcast per
-        column was tried and lowered ~60% SLOWER through Mosaic (3-D
-        ref-slice updates do not vectorise well), so the simple form
-        stays. The rho_sync it>0 throttle keeps refactorisations to ~2
-        per solve instead.
+        UNROLLED form (rolled=False): left-looking standard-Cholesky
+        columns (n^2/2 small (n, tb) ops), then converted in place to the
+        zero-diagonal normalised form + dinv plane (kernels/ldl.py) so
+        every solve sweep row is ONE broadcast-FMA. Measured notes: a
+        tile-wide refactorisation costs ~3 ADMM iterations at the flagship
+        shape and is op-LATENCY bound; a right-looking variant with one
+        3-D trailing-panel broadcast per column was tried and lowered ~60%
+        SLOWER through Mosaic (3-D ref-slice updates do not vectorise
+        well), so the simple form stays. The rho_sync it>0 throttle keeps
+        refactorisations to ~2 per solve instead.
+
+        ROLLED form (rolled=True, SolverConfig.pallas_rolled): the same
+        math under two lax.fori_loops, bounding the Mosaic compile time
+        that grows ~quadratically in the unrolled op count (10 s at N=24
+        -> 213 s at N=64 -> infeasible at N=96). The factor is stored
+        COLUMN-MAJOR - lc_ref[j] is column j - so the loop body only ever
+        indexes the ref's LEADING (untiled) axis dynamically (dynamic
+        sublane indexing is the Mosaic pattern that fails; static middle-
+        axis slices, which the solve sweeps still use, are fine). The
+        scalar L[j, k] each inner step needs is extracted by a mask-reduce
+        against the row-j indicator (~3 ops per inner step vs 1 unrolled -
+        refactorisations are ~2-3 per solve, so this costs a few
+        iterations' equivalent at large N where it is enabled). P's column
+        j is read as its row j (symmetric, identity-padded).
         """
+        if rolled:
+            def col_body(j, carry):
+                ej = (row_idx == j).astype(f32)
+                pj = p_ref[pl.ds(j, 1), :, :][0]
+                s = pj + ej * shift
+
+                def inner(k, s_):
+                    colk = lc_ref[pl.ds(k, 1), :, :][0]
+                    ljk = jnp.sum(colk * ej, axis=0, keepdims=True)
+                    return s_ - colk * ljk
+
+                s = jax.lax.fori_loop(0, j, inner, s)
+                d = jnp.maximum(jnp.sum(s * ej, axis=0, keepdims=True), tiny)
+                col = s * jax.lax.rsqrt(d) * (row_idx >= j).astype(f32)
+                lc_ref[pl.ds(j, 1), :, :] = col[None]
+                return carry
+
+            jax.lax.fori_loop(0, n, col_body, jnp.int32(0))
+
+            def conv_body(j, dinv_val):
+                # in-place chol_to_unit (kernels/ldl.py), column-major:
+                # zero-diag unit columns + the dinv = 1/L_jj^2 plane
+                # accumulated as a carried value (no dynamic-row stores).
+                ej = (row_idx == j).astype(f32)
+                colj = lc_ref[pl.ds(j, 1), :, :][0]
+                rj = 1.0 / jnp.sum(colj * ej, axis=0, keepdims=True)
+                strict = (row_idx > j).astype(f32)
+                lc_ref[pl.ds(j, 1), :, :] = (colj * (rj * strict))[None]
+                return dinv_val * (1.0 - ej) + ej * (rj * rj)
+
+            dinv_ref[:] = jax.lax.fori_loop(0, n, conv_body, zeros_nv)
+            return
+
         for j in range(n):
             ej = (row_idx == j).astype(f32)
             s = p_ref[:, j, :] + ej * shift
@@ -166,6 +214,8 @@ def _admm_chol_kernel(
         divides - 2 ops per row; and a block-of-4 variant - no gain. The
         zero-diag LDL^T form halves the sweeps' op count.)
         """
+        if rolled:
+            return ldl_solve_cm(lc_ref, dinv_ref, rhs, n)
         return ldl_solve(lc_ref, dinv_ref, rhs, n)
 
     def prox(x):
@@ -508,6 +558,18 @@ def admm_solve_pallas(
     P_k, q_kk, a_k, b_k, c_k = pack_inputs(P, q, prox_args)
     ws_kk = to_kernel_vec(warm_start)
 
+    # rolled factorisation (SolverConfig.pallas_rolled). Measured on-chip
+    # (benchmarks/profile_rolled.py, B=4096 QCQP): compile 10->3 s at N=24,
+    # 67->8 s at N=48, 213->11 s at N=64, infeasible->20 s at N=96; runtime
+    # EQUAL-or-better everywhere tried (N=48: 3.57->2.61 ms) - the smaller
+    # instruction stream beats the unrolled form's per-op savings. Auto
+    # keeps only tiny problems (n_pad <= 16, factorisation <= ~150 ops,
+    # compile ~1 s) on the unrolled path where loop overhead is the largest
+    # share.
+    rolled = cfg.pallas_rolled == "on" or (
+        cfg.pallas_rolled == "auto" and n_pad > 16
+    )
+
     grid = (Bp // tb,)
     vec_spec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -529,6 +591,7 @@ def admm_solve_pallas(
             n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg_k,
             qcqp_stopping=qcqp_stopping, damp_both=damp_both,
             state_in=state_in, state_out=state_out, it_offset=it_offset,
+            rolled=rolled,
         )
         in_specs = [mat_spec] + [vec_spec] * 5
         inputs = [P_b, q_b, ws_b, a_b, b_b, c_b]

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["chol_to_unit", "ldl_solve"]
+__all__ = ["chol_to_unit", "ldl_solve", "ldl_solve_cm"]
 
 
 def chol_to_unit(lc_ref, dinv_ref, n: int, row_idx):
@@ -72,4 +72,21 @@ def ldl_solve(lc_ref, dinv_ref, rhs, n: int, start: int = 0):
     acc = acc * dinv_ref[:]
     for i in reversed(range(n)):
         acc = acc - lc_ref[i] * acc[i : i + 1, :]
+    return acc
+
+
+def ldl_solve_cm(lc_ref, dinv_ref, rhs, n: int):
+    """ldl_solve for a COLUMN-MAJOR factor ref: lc_ref[(col, row, lanes)],
+    i.e. lc_ref[j] is column j (the rolled factorisation's layout - columns
+    live on the LEADING axis so the fori_loop factor body only ever indexes
+    the untiled dimension dynamically; see admm_pallas._admm_chol_kernel).
+    Same 2n + 1 ops; the two sweeps' index patterns swap: the forward sweep
+    reads leading-axis columns, the backward sweep reads static middle-axis
+    slices (rows of Lh = columns of Lh^T)."""
+    acc = rhs
+    for i in range(n):
+        acc = acc - lc_ref[i] * acc[i : i + 1, :]
+    acc = acc * dinv_ref[:]
+    for i in reversed(range(n)):
+        acc = acc - lc_ref[:, i, :] * acc[i : i + 1, :]
     return acc

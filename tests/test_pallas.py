@@ -147,12 +147,14 @@ def test_pallas_staggered_schedule_parity(prob):
 def test_which_backend_reports_dispatch(monkeypatch):
     """The N-cliff of the fused forward kernel must be inspectable
     (VERDICT round-1 weak item 8): which_backend reports the engine the
-    auto dispatch would pick for these inputs, including the N <= 48 auto
-    bound (asserted by faking a TPU default backend)."""
+    auto dispatch would pick for these inputs, including the N <= 96 auto
+    bound - the kernel's VMEM ceiling at the 128-lane tile (asserted by
+    faking a TPU default backend)."""
     import diffqcqp_tpu.api as api_mod
 
     rng = np.random.default_rng(2)
-    for n, expect_on_tpu in [(24, "pallas"), (48, "pallas"), (56, "xla")]:
+    for n, expect_on_tpu in [(24, "pallas"), (48, "pallas"), (96, "pallas"),
+                             (104, "xla")]:
         S = rng.standard_normal((4, n, n)).astype(np.float32)
         P = jnp.asarray(S @ S.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=np.float32))
         q = jnp.asarray(rng.standard_normal((4, n)).astype(np.float32))
@@ -195,6 +197,54 @@ def test_pallas_above32_no_silent_cliff(prob):
     )
     np.testing.assert_allclose(np.array(l_pal), np.array(l_ref), atol=5e-4)
     assert bool(np.all(np.array(s_pal.converged)))
+
+
+def test_rolled_factorisation_bitwise_matches_unrolled():
+    """SolverConfig.pallas_rolled: the rolled (fori_loop, column-major
+    factor) kernel body must be BITWISE identical to the unrolled one -
+    same arithmetic in the same order, only the storage layout and loop
+    structure differ. Covers all four prox kinds and the two-phase
+    compaction resume (which refactorises from carried state)."""
+    from diffqcqp_tpu.kernels.admm_pallas import (
+        PROX_BOX, PROX_DISK, PROX_SIGNED_BOX,
+    )
+
+    rng = np.random.default_rng(9)
+    b, nc = 48, 4
+    n = 2 * nc
+    S = (rng.standard_normal((b, n, n)) / np.sqrt(n)).astype(np.float32)
+    P = jnp.asarray(S @ S.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    ws = jnp.zeros_like(q)
+    lo = jnp.asarray(-rng.random((b, n)).astype(np.float32))
+    hi = jnp.asarray(rng.random((b, n)).astype(np.float32))
+    vs = jnp.asarray(np.sign(rng.standard_normal((b, n))).astype(np.float32))
+    radius = jnp.asarray((rng.random((b, nc)) * 0.5 + 0.05).astype(np.float32))
+
+    cases = [
+        (PROX_NONNEG, (), False),
+        (PROX_BOX, (lo, hi), False),
+        (PROX_SIGNED_BOX, (lo, hi, vs), False),
+        (PROX_DISK, (radius,), True),
+    ]
+    for kind, pa, qstop in cases:
+        base = CFG.replace(eps=1e-6, max_iter=300, pallas_rolled="off")
+        for extra in ({}, {"compact_iters": 5, "pallas_tile_b": 128}):
+            c0 = base.replace(**extra)
+            c1 = c0.replace(pallas_rolled="on")
+            l0, s0 = admm_solve_pallas(
+                P, q, ws, kind, pa, c0, qcqp_stopping=qstop,
+                damp_both=not qstop, interpret=True, tile_b=128,
+            )
+            l1, s1 = admm_solve_pallas(
+                P, q, ws, kind, pa, c1, qcqp_stopping=qstop,
+                damp_both=not qstop, interpret=True, tile_b=128,
+            )
+            assert np.array_equal(np.array(l0), np.array(l1)), (kind, extra)
+            assert np.array_equal(
+                np.array(s0.iterations), np.array(s1.iterations)
+            ), (kind, extra)
+            assert bool(np.all(np.array(s1.converged))), (kind, extra)
 
 
 def test_pallas_stalled_flag(prob):
