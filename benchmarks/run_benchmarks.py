@@ -906,8 +906,138 @@ def config10(reps):
     return out
 
 
+def config11(reps):
+    """Warm-started contact-rollout benchmark - the reference's motivating
+    workload (README.md:68-83; warm_start threaded at Solver.cpp:529,
+    dead code there, live here): B point masses sliding on a plane under
+    drifting pushes, T time steps, each step one diagonal-P non-negative
+    QP (normal impulse) + one 2-D friction-cone QCQP per body
+    (models/contact_sim.py). Reports steps/s and mean solver
+    iterations/step with warm starts ON (impulse carry through the scan +
+    the derived dual warm start u0 = -(P ws + q)) vs OFF, plus a
+    full-rollout f64 referee: the identical stepping loop re-run in
+    float64 through the native reference-faithful host solver, max
+    position deviation over the whole trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffqcqp_tpu.models import contact_sim as cs
+
+    B, T, dt = 2048, 50, 0.01
+    rng = np.random.default_rng(11)
+    mass = (rng.random(B) * 2.0 + 0.5).astype(np.float32)
+    mu = (rng.random(B) * 0.6 + 0.2).astype(np.float32)
+    params = cs.ContactParams(mass=jnp.asarray(mass), mu=jnp.asarray(mu))
+    x0 = np.zeros((B, 3), np.float32)
+    v0 = rng.standard_normal((B, 3)).astype(np.float32)
+    v0[:, 2] = 0.0                      # start resting on the plane
+    state0 = cs.ContactState(x=jnp.asarray(x0), v=jnp.asarray(v0))
+    # slowly drifting in-plane pushes: a smooth random walk, so consecutive
+    # steps solve nearly identical problems - the regime warm starts exist
+    # for (README.md:42)
+    steps_f = rng.standard_normal((T, B, 3)).astype(np.float32) * 0.15
+    steps_f[:, :, 2] = 0.0
+    f = np.cumsum(steps_f, axis=0) + rng.standard_normal((1, B, 3)).astype(
+        np.float32
+    ) * np.array([2.0, 2.0, 0.0], np.float32)
+    f_j = jnp.asarray(f)
+
+    out = {
+        "config": 11,
+        "desc": f"B={B} T={T} warm-started contact rollout (QP+QCQP/step)",
+    }
+
+    iters_rec = {}
+    for warm in (True, False):
+        def make_roll(t_steps, warm=warm):
+            @jax.jit
+            def roll(f_in):
+                final, traj, st = cs.simulate(
+                    params, state0, f_in[:t_steps], dt=dt, warm_start=warm,
+                    return_stats=True,
+                )
+                probe = jnp.sum(final.x) + jnp.sum(final.v)
+                return probe, st
+            return roll
+
+        roll_T, roll_1 = make_roll(T), make_roll(1)
+        fnT = lambda f_in: roll_T(f_in)[0]
+        fn1 = lambda f_in: roll_1(f_in)[0]
+        # differenced wall time per step (CLAUDE.md tunnel protocol),
+        # median of 3 passes
+        _ = float(fnT(f_j)); _ = float(fn1(f_j))
+        samples = []
+        for _p in range(3):
+            t0 = time.perf_counter(); _ = float(fnT(f_j))
+            tT = time.perf_counter() - t0
+            t0 = time.perf_counter(); _ = float(fn1(f_j))
+            t1 = time.perf_counter() - t0
+            if tT - t1 > 1e-4:
+                samples.append((tT - t1) / (T - 1))
+        per_step = float(np.median(samples)) if samples else float("nan")
+        _, st = roll_T(f_j)
+        key = "warm" if warm else "cold"
+        # step 0 has no previous impulses either way; report the
+        # steady-state mean (steps 1..T-1) where warm starting acts
+        iters_rec[key] = st
+        out[f"steps_per_sec_{key}"] = round(1.0 / per_step, 1)
+        out[f"body_steps_per_sec_{key}"] = round(B / per_step, 1)
+        out[f"qp_iters_per_step_{key}"] = round(
+            float(np.mean(np.asarray(st["qp_iters"])[1:])), 2
+        )
+        out[f"qcqp_iters_per_step_{key}"] = round(
+            float(np.mean(np.asarray(st["qcqp_iters"])[1:])), 2
+        )
+    out["warm_speedup"] = round(
+        out["steps_per_sec_warm"] / out["steps_per_sec_cold"], 2
+    )
+
+    # ---- native-f64 full-rollout referee (first K bodies): the same
+    # stepping math in float64 through the reference-faithful C++ solver.
+    try:
+        from diffqcqp_tpu.native import host_solver
+
+        if host_solver.available():
+            K = 64
+            _, traj = cs.simulate(params, state0, f_j, dt=dt, warm_start=True)
+            xs_tpu = np.asarray(traj.x)[:, :K]          # (T, K, 3)
+            m64 = mass[:K].astype(np.float64)
+            mu64 = mu[:K].astype(np.float64)
+            x = x0[:K].astype(np.float64)
+            v = v0[:K].astype(np.float64)
+            g_vec = np.array([0.0, 0.0, -9.81])
+            eye2 = np.eye(2)
+            max_err = 0.0
+            for t in range(T):
+                v_free = v + dt * (f[t, :K].astype(np.float64) / m64[:, None] + g_vec)
+                touching = (x[:, 2] <= 1e-3) & (v_free[:, 2] <= 0.0)
+                qz = np.where(touching, v_free[:, 2], 1.0)
+                q_n = np.stack([qz, np.ones_like(qz)], axis=-1)
+                P_d = (1.0 / m64)[:, None, None] * eye2[None]
+                l_n = host_solver.solve_qp_batch(
+                    P_d, q_n, eps=1e-12, max_iter=100000
+                ).l[:, 0]
+                l_t = host_solver.solve_qcqp_batch(
+                    P_d, v_free[:, :2], l_n[:, None], mu64[:, None],
+                    eps=1e-12, max_iter=100000,
+                ).l
+                dv = np.concatenate([l_t, l_n[:, None]], axis=-1) / m64[:, None]
+                v = v_free + dv
+                x = x + dt * v
+                x[:, 2] = np.maximum(x[:, 2], 0.0)
+                max_err = max(max_err, float(np.max(np.abs(x - xs_tpu[t]))))
+            out["max_abs_pos_err_vs_native_f64_rollout"] = max_err
+            out["referee_bodies"] = K
+        else:
+            out["native_referee"] = "unavailable"
+    except Exception as e:  # noqa: BLE001
+        out["native_referee_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7, 8: config8, 9: config9, 10: config10}
+           6: config6, 7: config7, 8: config8, 9: config9, 10: config10,
+           11: config11}
 
 
 def main():

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..api import solve_qcqp, solve_qp
+from ..api import solve_qcqp_with_stats, solve_qp_with_stats
 from ..config import QCQP_DEFAULTS, QP_DEFAULTS, SolverConfig
 
 QP_CFG = QP_DEFAULTS.replace(eps=1e-7, max_iter=200)
@@ -60,12 +60,14 @@ def _step(
     qp_cfg: SolverConfig,
     qcqp_cfg: SolverConfig,
     impulses: tuple[Array, Array] | None = None,   # previous (l_n, l_t)
-) -> tuple[ContactState, tuple[Array, Array]]:
-    """One stepping step; returns the new state AND this step's impulses
+):
+    """One stepping step; returns the new state, this step's impulses
     (l_n (B,), l_t (B, 2)) so the rollout can warm-start the next solve with
     them - the reference's intended warm-start pattern (README.md:42: the
     previous timestep's forces seed the next solve; dead code there,
-    Solver.cpp:70 vs :80, live here)."""
+    Solver.cpp:70 vs :80, live here) - and the two solves' per-step mean
+    iteration counts (scalar f32 each; the stats are computed by the engine
+    regardless, so carrying them is free)."""
     m = params.mass
     g = jnp.array([0.0, 0.0, -9.81], state.v.dtype)
 
@@ -92,7 +94,8 @@ def _step(
     P_n = jnp.broadcast_to((1.0 / m)[:, None], (m.shape[0], 2))
     q_z = jnp.where(touching, v_free[:, 2], 1.0)        # inactive => q>0 => l=0
     q_n = jnp.stack([q_z, jnp.ones_like(q_z)], axis=-1)
-    l_n = solve_qp(P_n, q_n, ws_n, config=qp_cfg)[:, 0]  # (B,)
+    l_n_full, st_n = solve_qp_with_stats(P_n, q_n, ws_n, config=qp_cfg)
+    l_n = l_n_full[:, 0]                                 # (B,)
 
     # --- friction impulse: one 2-D cone per body, radius mu * l_n.
     # P again the Delassus 1/m per tangential coordinate, q = v*_xy.
@@ -101,7 +104,7 @@ def _step(
     # the minimiser of 1/2 l^2/m + l . v is l = -m v (clipped to the cone):
     # the returned impulse already opposes the tangential motion and sticks
     # the contact when inside the cone.
-    l_t = solve_qcqp(
+    l_t, st_t = solve_qcqp_with_stats(
         P_t, q_t, l_n[:, None], params.mu[:, None], ws_t, config=qcqp_cfg
     )                                               # (B, 2)
 
@@ -109,7 +112,11 @@ def _step(
     v_new = v_free + dv
     x_new = state.x + dt * v_new
     x_new = x_new.at[:, 2].set(jnp.maximum(x_new[:, 2], 0.0))
-    return ContactState(x=x_new, v=v_new), (l_n, l_t)
+    iters = (
+        jnp.mean(st_n.iterations.astype(jnp.float32)),
+        jnp.mean(st_t.iterations.astype(jnp.float32)),
+    )
+    return ContactState(x=x_new, v=v_new), (l_n, l_t), iters
 
 
 def simulate(
@@ -120,8 +127,13 @@ def simulate(
     qp_cfg: SolverConfig = QP_CFG,
     qcqp_cfg: SolverConfig = QCQP_CFG,
     warm_start: bool = True,
-) -> tuple[ContactState, ContactState]:
-    """Roll T steps; returns (final_state, trajectory-of-states).
+    return_stats: bool = False,
+):
+    """Roll T steps; returns (final_state, trajectory-of-states), plus -
+    when ``return_stats`` - a dict of per-step batch-mean solver iteration
+    counts {'qp_iters': (T,), 'qcqp_iters': (T,)} (free to carry: the
+    engine computes SolveStats regardless). The warm-start economics of
+    the rollout are benchmarked in benchmarks/run_benchmarks.py config 11.
 
     warm_start=True carries each step's contact impulses through the scan
     and seeds the next step's QP/QCQP solves with them, primal AND dual
@@ -139,13 +151,15 @@ def simulate(
 
     def body(carry, f):
         state, imp = carry
-        nxt, imp_new = _step(
+        nxt, imp_new, iters = _step(
             params, state, f, dt, qp_cfg, qcqp_cfg,
             impulses=imp if warm_start else None,
         )
-        return (nxt, imp_new), nxt
+        return (nxt, imp_new), (nxt, iters)
 
-    (final, _), traj = jax.lax.scan(body, (state0, imp0), f_ext)
+    (final, _), (traj, iters) = jax.lax.scan(body, (state0, imp0), f_ext)
+    if return_stats:
+        return final, traj, {"qp_iters": iters[0], "qcqp_iters": iters[1]}
     return final, traj
 
 
