@@ -748,14 +748,36 @@ def config8(reps):
     }
     dt0 = _timed_loop(make_loop(base, reps), args, reps, make_loop(base, 1))
     out["problems_per_sec"] = round(b / dt0, 1)
-    K = max(int(np.median(it)) + 2, 1)    # just past the median
-    cfgK = base.replace(compact_iters=K)
-    dtK = _timed_loop(make_loop(cfgK, reps), args, reps, make_loop(cfgK, 1))
-    out["compact_iters"] = K
-    out["problems_per_sec_compacted"] = round(b / dtK, 1)
-    out["compaction_speedup"] = round(dt0 / dtK, 3)
+    # K picked by the measured-economics calibrator from ONE solve's
+    # iteration stats (dq.tune_compact_iters) - no hand tuning. On this
+    # distribution it lands at/near the round-4 hand choice p50+2.
+    K = dq.tune_compact_iters(it, tile_b=base.pallas_tile_b,
+                              max_iter=base.max_iter)
+    out["compact_iters_tuned"] = K
+    out["hand_k_p50_plus_2"] = int(np.median(it)) + 2
+    if K > 0:
+        cfgK = base.replace(compact_iters=K)
+        dtK = _timed_loop(make_loop(cfgK, reps), args, reps, make_loop(cfgK, 1))
+        out["problems_per_sec_compacted"] = round(b / dtK, 1)
+        out["compaction_speedup"] = round(dt0 / dtK, 3)
+    else:
+        dtK = dt0
+    # compact_iters='auto' (zero-setup in-graph mode: fixed K1=32 boundary
+    # + runtime survivor-stats decision) - measured weaker than the
+    # calibrated K on long tails (its boundary sits past this
+    # distribution's easy mass); reported for the documented trade.
+    cfgA = base.replace(compact_iters="auto")
+    dtA = _timed_loop(make_loop(cfgA, reps), args, reps, make_loop(cfgA, 1))
+    out["problems_per_sec_auto"] = round(b / dtA, 1)
+    out["auto_speedup"] = round(dt0 / dtA, 3)
+    if dt0 > dtK:
+        out["auto_retention_of_tuned_gain"] = round(
+            (dt0 - dtA) / (dt0 - dtK), 3
+        )
     lc, sc = jax.jit(
-        lambda *a: dq.solve_qcqp_with_stats(*a, config=cfgK)
+        lambda *a: dq.solve_qcqp_with_stats(
+            *a, config=cfgK if K > 0 else cfgA
+        )
     )(*args)
     l0 = jax.jit(lambda *a: dq.solve_qcqp(*a, config=base))(*args)
     out["compaction_max_abs_diff"] = float(

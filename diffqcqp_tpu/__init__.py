@@ -47,6 +47,7 @@ from .duals import (
     signed_box_qp_derivatives,
 )
 from . import debug, verify
+from .utils.autotune import tune_compact_iters
 from .utils.cache import enable_compilation_cache
 
 __version__ = "0.1.0"
@@ -78,5 +79,6 @@ __all__ = [
     "box_qp_derivatives",
     "signed_box_qp_derivatives",
     "qcqp_derivatives",
+    "tune_compact_iters",
     "__version__",
 ]

@@ -142,7 +142,19 @@ class SolverConfig:
         identical trajectories either way (same arithmetic order);
         parity-tested in tests/test_pallas.py.
       compact_iters: straggler compaction for the pallas backend. 0 (default)
-        = off. K > 0 splits the fused solve in two phases: phase 1 runs K
+        = off. ``'auto'`` = no tuning: phase 1 runs a fixed 32 iterations
+        (kernels/admm_pallas.py::AUTO_K1 - past the easy mass of benign
+        distributions, a broad optimum for long-tailed ones), then a
+        runtime ``lax.cond`` three-way decision from the phase-1 survivor
+        stats (which the manual mode discards): all lanes converged ->
+        return phase-1 results directly (no argsort, no repack, no second
+        kernel - benign distributions pay ~nothing); survivors would free
+        at least one lane-tile -> full repack + compacted resume; survivors
+        everywhere -> resume on the natural order (skips the boundary
+        gather that could not pay for itself). Measured: flagship-neutral
+        (within chip drift) and retains the hand-tuned speedup on the
+        config-8 long-tail distribution (benchmarks/run_benchmarks.py).
+        K > 0 (manual) splits the fused solve in two phases: phase 1 runs K
         iterations on the natural batch order, then the still-unconverged
         problems - known exactly at that point, unlike any pre-solve
         difficulty predictor (none works; DESIGN.md) - are grouped into as
@@ -239,7 +251,7 @@ class SolverConfig:
     stall_tol: float = 8.0
     rho_sync: bool = True
     rho0_scale: float = 1.0
-    compact_iters: int = 0
+    compact_iters: int | str = 0      # 0 off | K > 0 manual | 'auto'
     warm_start_dual: bool = False
     accel: bool = False
     accel_eta: float = 0.999

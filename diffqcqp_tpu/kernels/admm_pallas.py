@@ -61,6 +61,12 @@ PROX_BOX = 1
 PROX_SIGNED_BOX = 2
 PROX_DISK = 3
 
+# compact_iters='auto' phase-1 length: safely past the easy mass of benign
+# distributions (flagship tile-max ~23 at the production schedule) and a
+# broad optimum for long-tailed ones - see the auto block in
+# admm_solve_pallas and SolverConfig.compact_iters.
+AUTO_K1 = 32
+
 # Carried-state layout for the two-phase (straggler-compaction) solve.
 # One (2n, tb) vector plane: rows [0, n) = u, [n, 2n) = q_prox (l2 rides in
 # the warm-start input slot); one (16, tb) scalar-row plane:
@@ -622,6 +628,27 @@ def admm_solve_pallas(
         )(*inputs)
 
     K = cfg.compact_iters
+    auto = K in ("auto", -1)
+    if auto:
+        # auto mode (SolverConfig.compact_iters='auto'): a FIXED phase
+        # boundary at AUTO_K1 iterations - past the easy mass of every
+        # benign distribution measured (flagship tile-max ~23) and a broad
+        # optimum for long-tailed ones (the savings derivative w.r.t. K is
+        # flat once most lanes have converged: moving K from p50+2 to 32
+        # trades ~n_saved_tiles * dK tile-iterations in phase 1 against
+        # the same count back in a smaller phase 2) - then a RUNTIME
+        # three-way decision from the phase-1 outputs (the survivor stats
+        # the hand-tuned mode discards):
+        #   all converged       -> return phase-1 results: no argsort, no
+        #                          repack, no second kernel (lax.cond) -
+        #                          the flagship-neutrality case;
+        #   survivors free >= 1 -> full repack + compacted resume (the
+        #      tile                hand-tuned path);
+        #   survivors everywhere-> resume on the NATURAL order: pays one
+        #                          extra kernel launch but skips the
+        #                          argsort/gather boundary cost that
+        #                          cannot pay for itself.
+        K = AUTO_K1 if cfg.max_iter > AUTO_K1 else 0
     if 0 < K < cfg.max_iter and Bp > tb:
         # Two-phase straggler compaction (see SolverConfig.compact_iters):
         # convergence is tile-synchronous, so each tile pays its slowest
@@ -635,44 +662,76 @@ def admm_solve_pallas(
             cfg.replace(max_iter=K), P_k, q_kk, ws_kk, a_k, b_k, c_k,
             state_out=True,
         )
-        key = jnp.where(cv_1[0] > 0.5, jnp.inf, -rd_1[0])
-        bperm = jnp.argsort(key)            # stable: batch padding last
-        inv_bperm = jnp.argsort(bperm)
+        cfg2 = cfg.replace(max_iter=cfg.max_iter - K)
 
-        # Gather-cost note (measured, B=4096 N=24): a lane-axis take of
-        # the packed (n, n, Bp) P plane is 219 us - half a forward solve -
-        # while an axis-0 take of the batch-major ORIGINAL (contiguous
-        # rows) followed by the same pack as phase 1 is ~24 us. So the
-        # dense inputs are re-packed from permuted originals, and the
-        # lane-major state planes ride through one combined
-        # transpose/row-take/transpose (~10 us). bperm[:B] indexes only
-        # real problems: every padded lane (P=I, q=0) converges on its
-        # first iteration, so padding sorts into the tail; a real
-        # converged problem displaced past position B gets padding
-        # P=I/q=0 in phase 2, which is sound - converged lanes never
-        # read their problem data again (active=0 freezes them).
-        bperm_b = bperm[:B]
-        P_k2, q_k2, a_k2, b_k2, c_k2 = pack_inputs(
-            jnp.take(P, bperm_b, axis=0),
-            jnp.take(q, bperm_b, axis=0),
-            tuple(jnp.take(x, bperm_b, axis=0) for x in prox_args),
-        )
-        comb = jnp.concatenate([l2_1, svec_1, srow_1], axis=0)
-        comb = jnp.take(comb.T, bperm, axis=0).T
-        ws_2 = comb[:n_pad]
-        svec_2 = comb[n_pad : 3 * n_pad]
-        srow_2 = comb[3 * n_pad :]
-        outs2 = call(
-            cfg.replace(max_iter=cfg.max_iter - K),
-            P_k2, q_k2, ws_2, a_k2, b_k2, c_k2, svec=svec_2, srow=srow_2,
-            it_offset=K,
-        )
-        comb_o = jnp.concatenate([outs2[0]] + list(outs2[1:]), axis=0)
-        comb_o = jnp.take(comb_o.T, inv_bperm, axis=0).T
-        l2_k = comb_o[:n_pad]
-        (iters_k, resp_k, resd_k, rho_k, conv_k, stall_k) = tuple(
-            comb_o[n_pad + i : n_pad + i + 1] for i in range(6)
-        )
+        def repack_branch():
+            key = jnp.where(cv_1[0] > 0.5, jnp.inf, -rd_1[0])
+            bperm = jnp.argsort(key)        # stable: batch padding last
+            inv_bperm = jnp.argsort(bperm)
+
+            # Gather-cost note (measured, B=4096 N=24): a lane-axis take of
+            # the packed (n, n, Bp) P plane is 219 us - half a forward solve -
+            # while an axis-0 take of the batch-major ORIGINAL (contiguous
+            # rows) followed by the same pack as phase 1 is ~24 us. So the
+            # dense inputs are re-packed from permuted originals, and the
+            # lane-major state planes ride through one combined
+            # transpose/row-take/transpose (~10 us). bperm[:B] indexes only
+            # real problems: every padded lane (P=I, q=0) converges on its
+            # first iteration, so padding sorts into the tail; a real
+            # converged problem displaced past position B gets padding
+            # P=I/q=0 in phase 2, which is sound - converged lanes never
+            # read their problem data again (active=0 freezes them).
+            bperm_b = bperm[:B]
+            P_k2, q_k2, a_k2, b_k2, c_k2 = pack_inputs(
+                jnp.take(P, bperm_b, axis=0),
+                jnp.take(q, bperm_b, axis=0),
+                tuple(jnp.take(x, bperm_b, axis=0) for x in prox_args),
+            )
+            comb = jnp.concatenate([l2_1, svec_1, srow_1], axis=0)
+            comb = jnp.take(comb.T, bperm, axis=0).T
+            ws_2 = comb[:n_pad]
+            svec_2 = comb[n_pad : 3 * n_pad]
+            srow_2 = comb[3 * n_pad :]
+            outs2 = call(
+                cfg2, P_k2, q_k2, ws_2, a_k2, b_k2, c_k2,
+                svec=svec_2, srow=srow_2, it_offset=K,
+            )
+            comb_o = jnp.concatenate([outs2[0]] + list(outs2[1:]), axis=0)
+            comb_o = jnp.take(comb_o.T, inv_bperm, axis=0).T
+            return tuple(
+                [comb_o[:n_pad]]
+                + [comb_o[n_pad + i : n_pad + i + 1] for i in range(6)]
+            )
+
+        if auto:
+            def done_branch():
+                return (l2_1, it_1, rp_1, rd_1, rho_1, cv_1, st_1)
+
+            def natural_branch():
+                # resume from carried state on the ORIGINAL lane order:
+                # the identical update rule, no boundary gather.
+                return call(
+                    cfg2, P_k, q_kk, l2_1, a_k, b_k, c_k,
+                    svec=svec_1, srow=srow_1, it_offset=K,
+                )
+
+            n_tiles = Bp // tb
+            unconv = cv_1[0] < 0.5
+            surv = jnp.sum(unconv.astype(jnp.int32))
+            act_tiles = jnp.sum(
+                jnp.any(unconv.reshape(n_tiles, tb), axis=1).astype(jnp.int32)
+            )
+            tiles_after = (surv + tb - 1) // tb
+            outs = jax.lax.cond(
+                surv == 0,
+                done_branch,
+                lambda: jax.lax.cond(
+                    tiles_after < act_tiles, repack_branch, natural_branch
+                ),
+            )
+        else:
+            outs = repack_branch()
+        (l2_k, iters_k, resp_k, resd_k, rho_k, conv_k, stall_k) = outs
     else:
         l2_k, iters_k, resp_k, resd_k, rho_k, conv_k, stall_k = call(
             cfg, P_k, q_kk, ws_kk, a_k, b_k, c_k

@@ -114,6 +114,91 @@ def test_compact_warm_start(prob):
     assert float(np.max(np.abs(np.asarray(l1) - np.asarray(l0)))) < 5e-4
 
 
+def test_compact_auto_matches_single_phase(prob):
+    """compact_iters='auto' (fixed K1=32 boundary + runtime three-way
+    lax.cond on the phase-1 survivor stats): same fixed points as the
+    single-phase solve on every branch the decision can take."""
+    # (a) default distribution: some problems exceed 32 iterations at this
+    # eps, exercising the resume branches
+    for kind in ("qp", "qcqp"):
+        cfg0 = QBASE if kind == "qcqp" else BASE
+        l0, st0 = _solve(kind, prob, cfg0)
+        lA, stA = _solve(kind, prob, cfg0.replace(compact_iters="auto"))
+        assert bool(np.all(np.asarray(stA.converged))), kind
+        err = float(np.max(np.abs(np.asarray(lA) - np.asarray(l0))))
+        assert err < 1e-4, (kind, err)
+        assert int(np.asarray(stA.iterations).max()) <= cfg0.max_iter
+
+    # (b) all-easy: every problem converges inside K1 -> done branch
+    # (phase-1 results returned directly); iterations must match the
+    # single-phase solve EXACTLY (same kernel, same trajectory). Built
+    # well-conditioned (dominant +I diagonal) so the whole batch is
+    # comfortably under the K1=32 boundary.
+    P, q, lo, hi, sign, l_n, mu = prob
+    rng = np.random.default_rng(13)
+    S = rng.standard_normal((B, N, N)).astype(np.float32) / np.sqrt(N)
+    P_e = jnp.asarray(
+        S @ S.transpose(0, 2, 1) + 1.0 * np.eye(N, dtype=np.float32)
+    )
+    easy = QBASE.replace(eps=1e-5)
+    l0, st0 = dq.solve_qcqp_with_stats(P_e, q, l_n, mu, config=easy)
+    assert int(np.asarray(st0.iterations).max()) <= 32, "fixture drifted"
+    lA, stA = dq.solve_qcqp_with_stats(
+        P_e, q, l_n, mu, config=easy.replace(compact_iters="auto")
+    )
+    assert np.array_equal(np.asarray(lA), np.asarray(l0))
+    assert np.array_equal(
+        np.asarray(stA.iterations), np.asarray(st0.iterations)
+    )
+
+    # (c) auto composes with the rolled factorisation
+    lR, stR = dq.solve_qcqp_with_stats(
+        P, q, l_n, mu,
+        config=QBASE.replace(compact_iters="auto", pallas_rolled="on"),
+    )
+    lP, _ = dq.solve_qcqp_with_stats(P, q, l_n, mu, config=QBASE)
+    assert bool(np.all(np.asarray(stR.converged)))
+    assert float(np.max(np.abs(np.asarray(lR) - np.asarray(lP)))) < 1e-4
+
+
+def test_tune_compact_iters_calibrator():
+    """dq.tune_compact_iters: picks K from one solve's iteration stats by
+    the measured economics, declines when compaction cannot pay its
+    boundary (the no-user-tuning path for production distributions)."""
+    rng = np.random.default_rng(0)
+    # flagship-like: tight distribution, tile-max ~23 -> decline (the
+    # boundary costs ~8 whole-batch iterations; there is no tail to save)
+    flag = rng.integers(10, 24, size=4096)
+    assert dq.tune_compact_iters(flag, tile_b=512) == 0
+    # config-8-like: p50 ~17, 5% stragglers to ~120 spread over every
+    # tile -> compact just past the easy mass
+    tail = rng.integers(10, 24, size=4096)
+    hard = rng.random(4096) < 0.05
+    tail[hard] = rng.integers(60, 120, size=int(hard.sum()))
+    K = dq.tune_compact_iters(tail, tile_b=512)
+    assert 20 <= K <= 40, K
+    # single tile: always a no-op
+    assert dq.tune_compact_iters(tail[:256], tile_b=512) == 0
+    # max_iter cap respected (the model may still find a capped win -
+    # e.g. a tile-count reduction below the easy mass - but never a K at
+    # or above the cap)
+    assert dq.tune_compact_iters(tail, tile_b=512, max_iter=15) < 15
+    # the calibrated K really solves identically (wiring check, interpret)
+    rng2 = np.random.default_rng(7)
+    S = rng2.standard_normal((B, N, N)).astype(np.float32)
+    P = jnp.asarray(S @ S.transpose(0, 2, 1) + 0.1 * np.eye(N, dtype=np.float32))
+    q = jnp.asarray(rng2.standard_normal((B, N)).astype(np.float32))
+    l0, st0 = dq.solve_qp_with_stats(P, q, config=BASE)
+    K2 = dq.tune_compact_iters(
+        st0.iterations, tile_b=BASE.pallas_tile_b, max_iter=BASE.max_iter
+    )
+    lK, stK = dq.solve_qp_with_stats(
+        P, q, config=BASE.replace(compact_iters=max(K2, 5))
+    )
+    assert bool(np.all(np.asarray(stK.converged)))
+    assert float(np.max(np.abs(np.asarray(lK) - np.asarray(l0)))) < 1e-4
+
+
 def test_compact_edge_cases(prob):
     P, q, lo, hi, sign, l_n, mu = prob
     l0, _ = _solve("qcqp", prob, QBASE)
