@@ -115,14 +115,17 @@ def main():
     # x64 globally breaks the f32 pallas-kernel trace, and astype(float64)
     # without it silently stays f32 (round-2 advisor finding).
     cpu = jax.devices("cpu")[0]
+    gamma_oracle, sol_host = {}, {}
     for name, (ccfg, (l, stats), check) in sols.items():
         ln_host = np.asarray(jax.device_get(l))
+        sol_host[name] = ln_host
         with enable_x64(), jax.default_device(cpu):
             r = check(ln_host)
             bound = np.asarray(verify.stationarity_bound(
                 Pn, qn, ln_host, jax.device_get(stats),
                 alpha=ccfg.alpha_relax, mu_prox=ccfg.mu_prox,
             ))
+        gamma_oracle[name] = np.asarray(r.gamma)
         stat = np.array(r.stationarity)
         ratio = stat / (BOUND_MARGIN * bound)
         results[f"{name}_stationarity_median"] = float(np.median(stat))
@@ -145,6 +148,39 @@ def main():
                 )
             if not mx < tol_max[field]:
                 failures.append(f"{name}.{field} max={mx:.2e} >= {tol_max[field]}")
+
+    # ---- public on-device dual recovery (duals.py, f32 on the solver
+    # backend) vs the f64 least-squares oracle's multipliers: median
+    # relative error over strongly-active slots (activity classification
+    # near the boundary is legitimately f32-noisy; strong multipliers are
+    # the physics-relevant ones).
+    rec = {
+        "qp": np.asarray(dq.recover_qp_duals(P, q, sol_host["qp"])),
+        "box": np.concatenate(
+            [np.asarray(x) for x in dq.recover_box_qp_duals(
+                P, q, lo, hi, sol_host["box"]
+            )], axis=-1,
+        ),
+        "signed_box": np.concatenate(
+            [np.asarray(x) for x in dq.recover_signed_box_qp_duals(
+                P, q, lo, hi, v, sol_host["signed_box"]
+            )], axis=-1,
+        ),
+        "qcqp": np.asarray(
+            dq.recover_qcqp_duals(P, q, l_n, mu, sol_host["qcqp"])
+        ),
+    }
+    for name, g32 in rec.items():
+        ref = gamma_oracle[name]
+        strong = ref > max(1e-2, 10 * EPS)
+        if not strong.any():
+            failures.append(f"duals_{name}: no strong multiplier (vacuous)")
+            continue
+        rel = np.abs(g32[strong] - ref[strong]) / ref[strong]
+        med = float(np.median(rel))
+        results[f"duals_{name}_rel_median"] = med
+        if not med < 1e-2:
+            failures.append(f"duals_{name}: median rel err {med:.2e} >= 1e-2")
 
     # ---- FD-vs-analytic gradient checks through value_and_grad on-device
     def loss_qp(P, q):
