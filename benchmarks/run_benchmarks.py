@@ -540,12 +540,12 @@ def config5(reps):
 
 
 def config6(reps):
-    """B=2048 dense N=96 non-negative QP fwd+bwd - the large-N regime above
-    the pallas kernel's bound, exercising the batched-Cholesky XLA engine
-    (VERDICT r2 item 2; the round-2 eigh engine's setup alone was ~196 ms
-    at B=4096 N=24 and grows steeply with N). Also reports the setup
-    fraction: solve time at max_iter=1 minus one marginal iteration,
-    over the full fwd+bwd step."""
+    """B=2048 dense N=96 non-negative QP fwd+bwd. Since round 5 the rolled
+    fused kernel covers N<=96, so the AUTO path (headline row) runs the
+    pallas forward; the batched-Cholesky/Newton-Schulz XLA engine - the
+    regime owner beyond the kernel's VMEM ceiling (VERDICT r2 item 2) - is
+    additionally timed with backend='xla' pinned, with its setup fraction
+    (solve time at max_iter=1 minus one marginal iteration)."""
     import jax
     import jax.numpy as jnp
 
@@ -559,6 +559,7 @@ def config6(reps):
     # rho_update_period=24 as in the flagship bench: at N=96 a refactor is
     # a whole batched inverse - the tuned schedule makes them vanish.
     cfg = dq.QP_DEFAULTS.replace(eps=1e-7, max_iter=400, rho_update_period=24)
+    cfg_xla = cfg.replace(backend="xla")
 
     def loss(P, q):
         return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
@@ -574,11 +575,27 @@ def config6(reps):
 
     dt = _timed_loop(make_loop(reps), (Pj, qj), reps, make_loop(1))
 
-    # setup attribution: forward-only solves pinned to exactly k iterations
-    # (eps=0, stall test off, adaptive rho on - refactor cost counts as
-    # iteration cost); setup = t(1 iter) - marginal-iteration cost.
+    def loss_xla(P, q):
+        return jnp.sum(dq.solve_qp(P, q, config=cfg_xla) ** 2)
+
+    def make_loop_xla(r):
+        @jax.jit
+        def loop(P, q):
+            def body(k, acc):
+                v, g = jax.value_and_grad(loss_xla, argnums=(0, 1))(
+                    P, q + 1e-5 * k
+                )
+                return acc + v + g[0][0, 0, 0]
+            return jax.lax.fori_loop(0, r, body, 0.0)
+        return loop
+
+    dt_xla = _timed_loop(make_loop_xla(reps), (Pj, qj), reps, make_loop_xla(1))
+
+    # setup attribution (XLA engine): forward-only solves pinned to exactly
+    # k iterations (eps=0, stall test off, adaptive rho on - refactor cost
+    # counts as iteration cost); setup = t(1 iter) - marginal-iteration cost.
     def make_fixed(iters, r):
-        fcfg = cfg.replace(eps=1e-30, stall_tol=0.0, max_iter=iters)
+        fcfg = cfg_xla.replace(eps=1e-30, stall_tol=0.0, max_iter=iters)
 
         @jax.jit
         def loop(P, q):
@@ -602,10 +619,14 @@ def config6(reps):
         lambda P, q: dq.solve_qp_with_stats(P, q, config=cfg)
     )(Pj, qj)
     out = {
-        "config": 6, "desc": f"B={b} N={n} dense QP fwd+bwd (chol engine)",
+        "config": 6,
+        "desc": f"B={b} N={n} dense QP fwd+bwd (auto engine; + pinned XLA)",
+        "auto_backend": dq.which_backend(Pj, qj, cfg),
         "problems_per_sec": round(b / dt, 1),
-        "setup_seconds": round(setup, 5),
-        "setup_frac_of_step": round(setup / dt, 3),
+        "problems_per_sec_xla_engine": round(b / dt_xla, 1),
+        "pallas_vs_xla_speedup": round(dt_xla / dt, 2),
+        "setup_seconds_xla": round(setup, 5),
+        "setup_frac_of_xla_step": round(setup / dt_xla, 3),
         "mean_iters": round(float(np.mean(np.array(stats.iterations))), 2),
         "converged_frac": float(np.mean(np.array(stats.converged))),
     }
