@@ -115,21 +115,22 @@ def _grad_P(dl: Array, l: Array, P: Array) -> Array:
 
 def _use_pallas(P, q, cfg: SolverConfig) -> bool:
     """Dispatch: the fused pallas kernel handles dense float32 problems on
-    TPU up to N <= 96 automatically; everything else goes through the XLA
-    engine. The bound is the kernel's VMEM ceiling, not compile time: at
-    the minimum 128-lane tile the three resident (N, N, 128) f32 planes
-    (double-buffered P block + factor scratch) fill the ~16 MiB budget at
-    N ~ 96-100 (round 3's compile-time cliff - 213 s at N=64, ~16 min at
-    N=96 - is gone: the ROLLED factorisation, SolverConfig.pallas_rolled,
-    compiles N=96 in ~20 s and runs measured faster than the unrolled form
-    everywhere tried; benchmarks/profile_rolled.py). Beyond 96 the XLA
-    chol/Newton-Schulz engine takes over (measured crossover: the kernel
-    still wins 1.5x AT 96 - 17.5 vs 25.6 ms at B=4096 - so the remaining
-    XLA-engine duties start where the kernel no longer fits). Use
-    ``which_backend`` to inspect the decision. The pallas path always
-    estimates L by power iteration (reference semantics) and is per-tile
-    rather than globally synchronised, so it is not used when a
-    cross-shard axis_name is set (the XLA engine's pmin handles that)."""
+    TPU up to N <= 112 automatically; everything else goes through the XLA
+    engine. The bound is the kernel's VMEM ceiling, not compile time: with
+    the factor scratch plus a single-buffered P slab (manual HBM->VMEM DMA
+    above N=48, kernels/admm_pallas.py) the two resident (N, N, 128) f32
+    planes hit the ~16 MiB budget at N ~ 112-120 (round 3's compile-time
+    cliff - 213 s at N=64, ~16 min at N=96 - is gone: the ROLLED
+    factorisation, SolverConfig.pallas_rolled, compiles N=96 in ~20-34 s
+    and runs measured faster than the unrolled form everywhere tried;
+    benchmarks/profile_rolled.py). Beyond 112 the XLA chol/Newton-Schulz
+    engine takes over (measured crossover: the kernel still wins 1.3x AT
+    112 - 22.8 vs 30.2 ms at B=4096 - so the remaining XLA-engine duties
+    start where the kernel no longer fits). Use ``which_backend`` to
+    inspect the decision. The pallas path always estimates L by power
+    iteration (reference semantics) and is per-tile rather than globally
+    synchronised, so it is not used when a cross-shard axis_name is set
+    (the XLA engine's pmin handles that)."""
     if cfg.backend == "pallas":
         if cfg.accel:
             raise ValueError(
@@ -141,7 +142,7 @@ def _use_pallas(P, q, cfg: SolverConfig) -> bool:
         return False
     return (
         P.ndim == 3
-        and P.shape[-1] <= 96
+        and P.shape[-1] <= 112
         and q.dtype == jnp.float32
         and cfg.axis_name is None
         and not cfg.accel
@@ -155,8 +156,8 @@ def which_backend(P, q, config: Optional[SolverConfig] = None) -> str:
     shifted-solve engine).
 
     The auto dispatch is shape/dtype/backend dependent (see ``_use_pallas``);
-    a dense N=104 float32 batch on TPU, for example, silently exceeds the
-    kernel's N <= 96 VMEM-bound auto limit and falls back to the XLA
+    a dense N=120 float32 batch on TPU, for example, silently exceeds the
+    kernel's N <= 112 VMEM-bound auto limit and falls back to the XLA
     chol/Newton-Schulz engine - this helper makes the cliff inspectable:
 
         >>> which_backend(P, q)          # 'pallas' or 'xla'

@@ -83,7 +83,7 @@ class SolverConfig:
       backend: ``'auto'`` | ``'xla'`` | ``'pallas'``. The pallas backend is
         the fused single-kernel TPU path (kernels/admm_pallas.py; float32,
         dense P, always power-iteration L). ``'auto'`` picks pallas exactly
-        when those conditions hold on a TPU backend AND N <= 96 - the
+        when those conditions hold on a TPU backend AND N <= 112 - the
         kernel's VMEM ceiling at the minimum 128-lane tile (the round-3
         compile-time cliff is gone, see ``pallas_rolled``; the kernel still
         beats the XLA engine 1.5x AT N=96, api._use_pallas). Else the pure

@@ -81,7 +81,7 @@ def _admm_chol_kernel(
     n: int, n_real: int, nc: int, prox_kind: int, cfg: SolverConfig,
     qcqp_stopping: bool, damp_both: bool,
     state_in: bool = False, state_out: bool = False, it_offset: int = 0,
-    rolled: bool = False,
+    rolled: bool = False, p_in_hbm: bool = False,
 ):
     # positional refs (pallas passes inputs, then outputs, then scratch):
     #   p, q, ws, a, b, c, [svec_in, srow_in],
@@ -98,7 +98,24 @@ def _admm_chol_kernel(
     if state_out:
         svec_out, srow_out = refs[:2]
         del refs[:2]
-    lc_ref, dinv_ref = refs
+    if p_in_hbm:
+        # P stays in HBM (BlockSpec memory_space=ANY - no pipeline double
+        # buffering) and this tile's slab is DMA'd into a VMEM scratch
+        # once per kernel instance. Halving P's VMEM residency buys a
+        # WIDER lane tile at N >= 48 (ops are fixed-overhead dominated,
+        # so fewer/wider tiles are near-proportionally faster); the
+        # one-shot ~N^2*tb*4B copy costs tens of us against a ~ms solve.
+        lc_ref, dinv_ref, p_vmem, p_sem = refs
+        i = pl.program_id(0)
+        tb_ = q_ref.shape[-1]
+        cp = pltpu.make_async_copy(
+            p_ref.at[:, :, pl.ds(i * tb_, tb_)], p_vmem, p_sem
+        )
+        cp.start()
+        cp.wait()
+        p_ref = p_vmem
+    else:
+        lc_ref, dinv_ref = refs
     f32 = jnp.float32
     eps = f32(cfg.eps)
     mu_prox = f32(cfg.mu_prox)
@@ -522,7 +539,23 @@ def admm_solve_pallas(
     n_pad = _round_up(n, 8)
     # VMEM residents: P input block (double-buffered) + lc scratch; the
     # measured failure point was n_pad=24, tile_b=2048 ("20.53M > 16.00M").
-    tb = vmem_tile_b(n_pad, min(tile_b, _round_up(B, _LANES)))
+    req = min(tile_b, _round_up(B, _LANES))
+    tb = vmem_tile_b(n_pad, req)
+    # Single-buffered P (manual HBM->VMEM DMA, no pipeline double buffer):
+    # when it admits a WIDER lane tile than the blocked path, take it -
+    # per-(rows, tile) ops are fixed-overhead dominated, so fewer/wider
+    # tiles are near-proportionally faster (measured: N=64 tb 128->256).
+    # The 12 MiB budget reflects one fewer resident (n, n, tile) plane
+    # against the same ~16 MiB ceiling. Not in interpret mode (the
+    # generic interpreter does not emulate TPU DMA primitives).
+    tb_sb = vmem_tile_b(
+        n_pad, req, matrix_bufs=2.0, budget=12 * 1024 * 1024
+    )
+    # n_pad >= 96 also forces it: at the 128-lane floor the double-buffered
+    # footprint sits at the ~16 MiB ceiling (the round-3 N=96 OOM).
+    p_in_hbm = (not interpret) and (tb_sb > tb or n_pad >= 96)
+    if p_in_hbm:
+        tb = tb_sb
     Bp = _round_up(B, tb)
 
     def to_kernel_vec(x, fill=0.0):
@@ -579,9 +612,13 @@ def admm_solve_pallas(
     grid = (Bp // tb,)
     vec_spec = pl.BlockSpec((n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec(
-        (n_pad, n_pad, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-    )
+    if p_in_hbm:
+        # whole array, un-blocked; the kernel DMAs its own tile slab
+        mat_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        mat_spec = pl.BlockSpec(
+            (n_pad, n_pad, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
     svec_spec = pl.BlockSpec(
         (2 * n_pad, tb), lambda i: (0, i), memory_space=pltpu.VMEM
     )
@@ -597,7 +634,7 @@ def admm_solve_pallas(
             n=n_pad, n_real=n, nc=nc, prox_kind=prox_kind, cfg=cfg_k,
             qcqp_stopping=qcqp_stopping, damp_both=damp_both,
             state_in=state_in, state_out=state_out, it_offset=it_offset,
-            rolled=rolled,
+            rolled=rolled, p_in_hbm=p_in_hbm,
         )
         in_specs = [mat_spec] + [vec_spec] * 5
         inputs = [P_b, q_b, ws_b, a_b, b_b, c_b]
@@ -614,16 +651,22 @@ def admm_solve_pallas(
                 jax.ShapeDtypeStruct((2 * n_pad, Bp), f32),
                 jax.ShapeDtypeStruct((_SCAL_ROWS, Bp), f32),
             ]
+        scratch = [
+            pltpu.VMEM((n_pad, n_pad, tb), f32),
+            pltpu.VMEM((n_pad, tb), f32),
+        ]
+        if p_in_hbm:
+            scratch += [
+                pltpu.VMEM((n_pad, n_pad, tb), f32),   # P tile slab
+                pltpu.SemaphoreType.DMA(()),
+            ]
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
-            scratch_shapes=[
-                pltpu.VMEM((n_pad, n_pad, tb), f32),
-                pltpu.VMEM((n_pad, tb), f32),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*inputs)
 

@@ -147,14 +147,14 @@ def test_pallas_staggered_schedule_parity(prob):
 def test_which_backend_reports_dispatch(monkeypatch):
     """The N-cliff of the fused forward kernel must be inspectable
     (VERDICT round-1 weak item 8): which_backend reports the engine the
-    auto dispatch would pick for these inputs, including the N <= 96 auto
+    auto dispatch would pick for these inputs, including the N <= 112 auto
     bound - the kernel's VMEM ceiling at the 128-lane tile (asserted by
     faking a TPU default backend)."""
     import diffqcqp_tpu.api as api_mod
 
     rng = np.random.default_rng(2)
-    for n, expect_on_tpu in [(24, "pallas"), (48, "pallas"), (96, "pallas"),
-                             (104, "xla")]:
+    for n, expect_on_tpu in [(24, "pallas"), (48, "pallas"), (112, "pallas"),
+                             (120, "xla")]:
         S = rng.standard_normal((4, n, n)).astype(np.float32)
         P = jnp.asarray(S @ S.transpose(0, 2, 1) + 0.1 * np.eye(n, dtype=np.float32))
         q = jnp.asarray(rng.standard_normal((4, n)).astype(np.float32))
