@@ -772,7 +772,7 @@ def config8(reps):
     # K picked by the measured-economics calibrator from ONE solve's
     # iteration stats (dq.tune_compact_iters) - no hand tuning. On this
     # distribution it lands at/near the round-4 hand choice p50+2.
-    K = dq.tune_compact_iters(it, tile_b=base.pallas_tile_b,
+    K = dq.tune_compact_iters(it, n=n, tile_b=base.pallas_tile_b,
                               max_iter=base.max_iter)
     out["compact_iters_tuned"] = K
     out["hand_k_p50_plus_2"] = int(np.median(it)) + 2

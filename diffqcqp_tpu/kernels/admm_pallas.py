@@ -52,9 +52,8 @@ from ..config import SolverConfig
 from ..solvers.admm import SolveStats
 from .ldl import chol_to_unit, ldl_solve, ldl_solve_cm
 from .layout import LANES as _LANES
-from .layout import pack_P, pack_vec, qcqp_perm, unpack_vec
+from .layout import forward_tile_plan, pack_P, pack_vec, qcqp_perm, unpack_vec
 from .layout import round_up as _round_up
-from .layout import vmem_tile_b
 
 PROX_NONNEG = 0
 PROX_BOX = 1
@@ -536,26 +535,29 @@ def admm_solve_pallas(
     else:
         perm = inv = None
 
+    if not (
+        cfg.compact_iters in ("auto", -1)
+        or (isinstance(cfg.compact_iters, int) and cfg.compact_iters >= 0)
+    ):
+        raise ValueError(
+            "SolverConfig.compact_iters must be 0 (off), a positive int K, "
+            f"or 'auto'; got {cfg.compact_iters!r}"
+        )
+
     n_pad = _round_up(n, 8)
-    # VMEM residents: P input block (double-buffered) + lc scratch; the
-    # measured failure point was n_pad=24, tile_b=2048 ("20.53M > 16.00M").
+    # Tile plan (kernels/layout.py::forward_tile_plan - ONE definition,
+    # shared with the compaction calibrator so its cost model prices the
+    # tiles the kernel actually runs). VMEM anchors: measured failure
+    # n_pad=24, tile_b=2048 ("20.53M > 16.00M"). p_in_hbm = single-buffered
+    # P slab (manual HBM->VMEM DMA, no pipeline double buffer): taken when
+    # it admits a WIDER lane tile - per-(rows, tile) ops are fixed-overhead
+    # dominated, so fewer/wider tiles are near-proportionally faster
+    # (measured: N=64 tb 128->256, ~25%) - and forced at n_pad >= 96 where
+    # the double-buffered footprint sits at the ~16 MiB ceiling (the
+    # round-3 N=96 OOM). Not in interpret mode (the generic interpreter
+    # lacks TPU DMA primitives).
     req = min(tile_b, _round_up(B, _LANES))
-    tb = vmem_tile_b(n_pad, req)
-    # Single-buffered P (manual HBM->VMEM DMA, no pipeline double buffer):
-    # when it admits a WIDER lane tile than the blocked path, take it -
-    # per-(rows, tile) ops are fixed-overhead dominated, so fewer/wider
-    # tiles are near-proportionally faster (measured: N=64 tb 128->256).
-    # The 12 MiB budget reflects one fewer resident (n, n, tile) plane
-    # against the same ~16 MiB ceiling. Not in interpret mode (the
-    # generic interpreter does not emulate TPU DMA primitives).
-    tb_sb = vmem_tile_b(
-        n_pad, req, matrix_bufs=2.0, budget=12 * 1024 * 1024
-    )
-    # n_pad >= 96 also forces it: at the 128-lane floor the double-buffered
-    # footprint sits at the ~16 MiB ceiling (the round-3 N=96 OOM).
-    p_in_hbm = (not interpret) and (tb_sb > tb or n_pad >= 96)
-    if p_in_hbm:
-        tb = tb_sb
+    tb, p_in_hbm = forward_tile_plan(n, req, hbm_p=not interpret)
     Bp = _round_up(B, tb)
 
     def to_kernel_vec(x, fill=0.0):

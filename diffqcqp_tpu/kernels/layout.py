@@ -54,6 +54,40 @@ def vmem_tile_b(
     return max(LANES, min(requested, cap))
 
 
+def forward_tile_b(n: int, requested: int, hbm_p: bool = True) -> int:
+    """The lane-tile width the FUSED FORWARD KERNEL will actually run with
+    for problem size n and a requested tile (SolverConfig.pallas_tile_b) -
+    the single definition shared by admm_pallas.admm_solve_pallas and the
+    compaction calibrator (utils/autotune.py), so the calibrator's cost
+    model prices the same tiles the kernel executes (a requested 512 is
+    silently clamped to 384/256/128 as N grows; modeling 512 would put the
+    tile count off 2-4x exactly on the large-N distributions compaction
+    exists for).
+
+    hbm_p=True includes the single-buffered HBM-P mode's wider-tile
+    option (on-TPU default; interpret mode runs the blocked path only).
+    """
+    return forward_tile_plan(n, requested, hbm_p)[0]
+
+
+def forward_tile_plan(
+    n: int, requested: int, hbm_p: bool = True
+) -> tuple[int, bool]:
+    """(tile_b, p_in_hbm) the fused forward kernel will use - see
+    forward_tile_b. p_in_hbm: single-buffered P slab (manual HBM->VMEM
+    DMA) - taken when it admits a wider tile, and forced at n_pad >= 96
+    where the double-buffered footprint sits at the ~16 MiB ceiling."""
+    n_pad = round_up(max(n, 1), 8)
+    tb = vmem_tile_b(n_pad, requested)
+    if hbm_p:
+        tb_sb = vmem_tile_b(
+            n_pad, requested, matrix_bufs=2.0, budget=12 * 1024 * 1024
+        )
+        if tb_sb > tb or n_pad >= 96:
+            return tb_sb, True
+    return tb, False
+
+
 def qcqp_perm(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Coordinate permutation: reference order (contact i owns 2i, 2i+1) ->
     kernel order (contact i owns rows i, nc+i), and its inverse."""

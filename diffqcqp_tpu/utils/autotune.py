@@ -9,7 +9,8 @@ exactly. ``tune_compact_iters`` turns that into a K (or a decline) using
 the kernel's measured economics, so production callers tune nothing:
 
     _, stats = solve_qcqp_with_stats(P, q, l_n, mu, config=cfg)   # once
-    K = tune_compact_iters(stats.iterations, tile_b=cfg.pallas_tile_b)
+    K = tune_compact_iters(stats.iterations, n=P.shape[-1],
+                            tile_b=cfg.pallas_tile_b)
     cfg = cfg.replace(compact_iters=K)          # 0 = leave compaction off
 
 Cost model (all in units of one TILE-iteration; measured at the flagship
@@ -44,6 +45,7 @@ def tune_compact_iters(
     iterations,
     *,
     tile_b: int = 512,
+    n: int | None = None,
     boundary_iters: float = 8.0,
     min_saving_frac: float = 0.1,
     max_iter: int | None = None,
@@ -54,8 +56,13 @@ def tune_compact_iters(
     Args:
       iterations: (B,) per-problem iteration counts from a representative
         solve's ``SolveStats`` (any int/float array-like).
-      tile_b: the kernel lane-tile width the solve will run with
-        (``SolverConfig.pallas_tile_b``).
+      tile_b: the REQUESTED lane-tile width (``SolverConfig.pallas_tile_b``).
+      n: the problem size. STRONGLY recommended: the kernel silently clamps
+        the requested tile to what VMEM fits (512 at N=24 but 384/256/128
+        as N grows - kernels/layout.py::forward_tile_plan); pricing the
+        requested width would put the model's tile count off 2-4x exactly
+        on the large-N distributions compaction exists for. With ``n`` the
+        model uses the tile the kernel will actually run.
       boundary_iters: phase-boundary cost in whole-batch-iteration units
         (measured ~230 us / ~30 us ~ 8 at the flagship shape).
       min_saving_frac: required modeled saving as a fraction of the
@@ -65,6 +72,10 @@ def tune_compact_iters(
     Returns:
       The best phase-boundary K, or 0 to leave compaction off.
     """
+    if n is not None:
+        from ..kernels.layout import forward_tile_b
+
+        tile_b = forward_tile_b(n, tile_b)
     it = np.asarray(iterations, np.int64).ravel()
     B = it.size
     if B <= tile_b:

@@ -179,6 +179,20 @@ def test_tune_compact_iters_calibrator():
     assert 20 <= K <= 40, K
     # single tile: always a no-op
     assert dq.tune_compact_iters(tail[:256], tile_b=512) == 0
+    # n-aware: the kernel clamps a requested 512 to narrower tiles as N
+    # grows (kernels/layout.py::forward_tile_plan); the calibrator must
+    # price the EFFECTIVE tile, not the requested one
+    from diffqcqp_tpu.kernels.layout import forward_tile_b
+
+    assert forward_tile_b(96, 512) < 512
+    k_req = dq.tune_compact_iters(tail, tile_b=512)
+    k_eff = dq.tune_compact_iters(tail, tile_b=512, n=96)
+    assert k_eff == dq.tune_compact_iters(
+        tail, tile_b=forward_tile_b(96, 512)
+    )
+    # narrower tiles change the economics (more tiles pay the boundary,
+    # finer survivor packing) - the two model runs must be independent
+    assert isinstance(k_req, int) and isinstance(k_eff, int)
     # max_iter cap respected (the model may still find a capped win -
     # e.g. a tile-count reduction below the easy mass - but never a K at
     # or above the cap)
@@ -197,6 +211,14 @@ def test_tune_compact_iters_calibrator():
     )
     assert bool(np.all(np.asarray(stK.converged)))
     assert float(np.max(np.abs(np.asarray(lK) - np.asarray(l0)))) < 1e-4
+
+
+def test_compact_invalid_value_raises(prob):
+    """A typo'd compact_iters ('Auto', 'on', -3) must fail with a clear
+    config error, not an opaque TypeError from inside tracing."""
+    for bad in ("Auto", "on", -3):
+        with pytest.raises(ValueError, match="compact_iters"):
+            _solve("qcqp", prob, QBASE.replace(compact_iters=bad))
 
 
 def test_compact_edge_cases(prob):

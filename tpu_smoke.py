@@ -182,6 +182,30 @@ def main():
         if not med < 1e-2:
             failures.append(f"duals_{name}: median rel err {med:.2e} >= 1e-2")
 
+    # ---- large-N fused-kernel path: N=48 engages BOTH round-5 kernel
+    # modes on real hardware (rolled factorisation + the single-buffered
+    # HBM P slab, p_in_hbm - which interpret-mode CPU tests can never
+    # execute); parity vs the pinned XLA engine is the check.
+    if backend == "tpu":
+        n48 = 48
+        _, P48, q48 = _problems(256, n48, seed=3)
+        results["n48_auto_backend"] = dq.which_backend(P48, q48, cfg)
+        if results["n48_auto_backend"] != "pallas":
+            failures.append("N=48 did not auto-dispatch to the fused kernel")
+        l_pal, st_pal = dq.solve_qp_with_stats(P48, q48, config=cfg)
+        l_xla, st_xla = dq.solve_qp_with_stats(
+            P48, q48, config=cfg.replace(backend="xla")
+        )
+        d48 = float(np.max(np.abs(np.asarray(l_pal) - np.asarray(l_xla))))
+        results["n48_pallas_vs_xla_max_abs"] = d48
+        if not bool(np.all(np.asarray(st_pal.converged))):
+            failures.append("N=48 fused-kernel solve did not converge")
+        # two INDEPENDENT trajectories each stopping at eps=1e-7: solution
+        # agreement ~ exit stationarity / lmin ~ 1e-5 / 0.1 = 1e-4 on this
+        # generator (measured 1.05e-4); a real kernel breakage is O(1)
+        if not d48 < 5e-4:
+            failures.append(f"N=48 pallas-vs-xla diff {d48:.2e} >= 5e-4")
+
     # ---- FD-vs-analytic gradient checks through value_and_grad on-device
     def loss_qp(P, q):
         return jnp.sum(dq.solve_qp(P, q, config=cfg) ** 2)
