@@ -72,8 +72,9 @@ def _spd_inverse_f32(A: Array) -> Array:
     bound and the computable a-priori alternative ||I - A/hi||_inf is
     >= 1 on these masked adjoint systems (measured 1.67 where the true
     spectral e0 was 0.98), but the per-step residual is free - typical
-    masked K stops at ~10-11 steps where the calibrated fixed count paid
-    22. The 30-step cap covers cond ~1e4+, beyond which f32 gradients
+    masked K stops at ~6-7 CUBIC steps (the loop is step-overhead bound,
+    not matmul bound, so the cubic family's fewer steps win ~19%:
+    ops/linalg.py, DESIGN.md section 10). The 30-step cap covers cond ~1e4+, beyond which f32 gradients
     are dominated by eps * cond regardless of the solver (DESIGN.md
     section 9)."""
     n = A.shape[-1]

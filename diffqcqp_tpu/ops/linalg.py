@@ -165,19 +165,28 @@ def newton_schulz_inverse_adaptive(
 
     Each NS step already computes MX, so the actual residual R = I - M X
     is available per step for the cost of one elementwise pass (~0.1 ms at
-    (2048, 96, 96) vs ~0.56 ms for the step's two matmuls). The loop stops
-    once the rigorous spectral bound sqrt(||R||_1 ||R||_inf) (R is not
-    symmetric, so neither norm alone bounds ||R||_2) falls below ``tol``:
-    the update applied with that residual lands the NEXT iterate at
-    ~tol^2, the working-precision floor (tol defaults to
-    ~0.9 sqrt(eps_mach) of M's dtype: 3.1e-4 f32 -> lands ~9.5e-8;
-    1.3e-8 f64 -> ~1.7e-16). This strictly dominates any a-priori trip
-    count - a bound-derived count must assume the worst case over the
-    batch (the masked adjoint systems have NO computable tight bound:
-    ||I - A/hi||_inf >= 1 there while the true spectral e0 was 0.98 ->
-    the measured rule stops at ~10-11 steps where the calibrated fixed
-    count paid 22). ``max_iters`` breaks residual stalls (noise floor /
-    cond beyond working-precision usefulness).
+    (2048, 96, 96) vs ~0.25 ms per HIGHEST-precision matmul). The loop
+    stops once the rigorous spectral bound sqrt(||R||_1 ||R||_inf) (R is
+    not symmetric, so neither norm alone bounds ||R||_2) falls below
+    ``tol``. This strictly dominates any a-priori trip count - a
+    bound-derived count must assume the worst case over the batch (the
+    masked adjoint systems have NO computable tight bound:
+    ||I - A/hi||_inf >= 1 there while the true spectral e0 was 0.98).
+    ``max_iters`` breaks residual stalls (noise floor / cond beyond
+    working-precision usefulness).
+
+    The iteration is the CUBIC member of the Newton-Schulz family,
+    X <- X (I + R + R^2): error contracts e -> e^3 for 3 matmuls/step vs
+    the classic quadratic's e -> e^2 for 2 - about the same total matmul
+    count, but ~2/3 the STEPS, and the per-step overhead (residual-norm
+    reductions, elementwise combines, while_loop sync) is roughly half of
+    each step's cost at the N=96 backward shape, so fewer steps win
+    outright (measured: the quadratic loop at 9.3 ms was NOT
+    matmul-precision-bound - DESIGN.md section 10). ``tol`` defaults to
+    ~0.9 * eps_mach^(1/3) of M's dtype (4.4e-3 f32, 5.5e-6 f64): the
+    update applied AT the exit residual lands the carried iterate at
+    ~tol^3, the working-precision floor. The masked adjoint K (e0 ~ 0.98)
+    stops at ~6-7 cubic steps where the quadratic rule paid 10-11.
 
     Sharding note: the max in the stopping rule is over whatever batch
     this function SEES. Under shard_map (parallel/sharding.py) that is
@@ -199,7 +208,7 @@ def _ns_adaptive_impl(M, x0, tol, max_iters):
     n = M.shape[-1]
     eye = jnp.eye(n, dtype=M.dtype)
     if tol is None:
-        tol = float(np.sqrt(np.finfo(np.dtype(M.dtype)).eps) * 0.9)
+        tol = float(np.cbrt(np.finfo(np.dtype(M.dtype)).eps) * 0.9)
 
     def norms(R):
         r1 = jnp.max(jnp.sum(jnp.abs(R), axis=-2))
@@ -213,12 +222,14 @@ def _ns_adaptive_impl(M, x0, tol, max_iters):
     def body(s):
         k, X, _ = s
         MX = jnp.einsum("bij,bjk->bik", M, X, precision=_HI)
-        X = jnp.einsum("bij,bjk->bik", X, 2.0 * eye - MX, precision=_HI)
-        return k + 1, X, norms(eye - MX)
+        R = eye - MX
+        RR = jnp.einsum("bij,bjk->bik", R, R, precision=_HI)
+        X = jnp.einsum("bij,bjk->bik", X, eye + R + RR, precision=_HI)
+        return k + 1, X, norms(R)
 
     # the carried residual belongs to the iterate the JUST-APPLIED update
     # contracted FROM, so exiting at resid <= tol leaves the carried X at
-    # ~resid^2 - already the working-precision floor, no polish needed.
+    # ~resid^3 - already the working-precision floor, no polish needed.
     init = (jnp.int32(0), x0, jnp.asarray(jnp.inf, M.dtype))
     return jax.lax.while_loop(cond, body, init)[1]
 
@@ -254,11 +265,12 @@ def ns_inverse_shifted(P: Array, shift: Array, iters: int | None = None) -> Arra
     bound costs at most sqrt(n) slack.
 
     The adaptive trip count matters: the common case - the engine's rho0
-    formula keeps cond(P + (rho+mu)I) ~ 7 - stops after ~7 steps
-    (14 matmuls), while a rho driven 3 decades down self-selects ~20; a
-    FIXED count must always pay the calibrated worst case (22 steps -
-    measured 17 ms of a 29 ms N=96 forward; adaptive setup 7.6 ms, +38%
-    config-6 throughput). ``iters`` forces a static count.
+    formula keeps cond(P + (rho+mu)I) ~ 7 - stops after a handful of
+    cubic steps, while a rho driven 3 decades down self-selects ~2x
+    more; a FIXED count must always pay the calibrated worst case (22
+    quadratic steps - measured 17 ms of a 29 ms N=96 forward; adaptive
+    setup 7.6 ms, +38% config-6 throughput). ``iters`` forces a static
+    QUADRATIC count (newton_schulz_inverse).
     """
     M = P + shift[:, None, None] * jnp.eye(P.shape[-1], dtype=P.dtype)
     lo = shift
