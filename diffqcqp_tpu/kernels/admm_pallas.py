@@ -537,11 +537,15 @@ def admm_solve_pallas(
 
     if not (
         cfg.compact_iters in ("auto", -1)
-        or (isinstance(cfg.compact_iters, int) and cfg.compact_iters >= 0)
+        or (
+            isinstance(cfg.compact_iters, int)
+            and not isinstance(cfg.compact_iters, bool)
+            and cfg.compact_iters >= 0
+        )
     ):
         raise ValueError(
             "SolverConfig.compact_iters must be 0 (off), a positive int K, "
-            f"or 'auto'; got {cfg.compact_iters!r}"
+            f"or 'auto' (alias -1); got {cfg.compact_iters!r}"
         )
 
     n_pad = _round_up(n, 8)

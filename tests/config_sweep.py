@@ -26,7 +26,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import diffqcqp_tpu as dq  # noqa: E402
 

@@ -62,10 +62,10 @@ def run_serial(timeout_s: float) -> dict:
         except ValueError:
             sig = f"signal {-rc}"
     # only rc 0 (all passed) and 1 (ordinary test failures) count as a
-    # clean serial completion; pytest rc 2/3/4 (interrupted, INTERNALERROR,
-    # usage error) can be the crash surfacing through pytest internals and
-    # must not feed a "pin droppable" verdict
-    crashed = rc is None or rc < 0 or rc >= 128 or rc not in (0, 1)
+    # clean serial completion: signals/timeouts (None, <0, >=128) and
+    # pytest rc 2/3/4 (interrupted, INTERNALERROR, usage error) can all be
+    # the crash surfacing and must not feed a "pin droppable" verdict
+    crashed = rc not in (0, 1)
     return {
         "returncode": rc,
         "signal": sig,

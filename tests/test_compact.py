@@ -191,8 +191,10 @@ def test_tune_compact_iters_calibrator():
         tail, tile_b=forward_tile_b(96, 512)
     )
     # narrower tiles change the economics (more tiles pay the boundary,
-    # finer survivor packing) - the two model runs must be independent
-    assert isinstance(k_req, int) and isinstance(k_eff, int)
+    # finer survivor packing): on this distribution the requested-512 and
+    # effective-128 models land on DIFFERENT K (22 vs 23) - pin that the
+    # n-aware clamp actually changes the model's answer
+    assert k_req != k_eff, (k_req, k_eff)
     # max_iter cap respected (the model may still find a capped win -
     # e.g. a tile-count reduction below the easy mass - but never a K at
     # or above the cap)

@@ -188,7 +188,10 @@ def main():
     # execute); parity vs the pinned XLA engine is the check.
     if backend == "tpu":
         n48 = 48
-        _, P48, q48 = _problems(256, n48, seed=3)
+        _, P48, q48 = _problems(512, n48, seed=3)   # B=512 -> 384-lane
+        # tile via the single-buffered HBM P slab (forward_tile_plan(48,
+        # 512) = (384, True)); smaller B would clamp the request below the
+        # point where the HBM mode engages
         results["n48_auto_backend"] = dq.which_backend(P48, q48, cfg)
         if results["n48_auto_backend"] != "pallas":
             failures.append("N=48 did not auto-dispatch to the fused kernel")
